@@ -1,0 +1,130 @@
+"""Fixed-grid Runge-Kutta integrators with per-lane divergence containment.
+
+The reference integrates each candidate/trajectory with a separate
+``diffrax.diffeqsolve`` call under nested vmaps (``SR_evaluator.py:76-79``),
+using adaptive Dopri5+PID in the notebooks and a NaN event to halt diverging
+trajectories. TPU-first redesign: one ``lax.scan`` over the save grid with the
+*entire population x trajectory batch* inside each step — the time axis is the
+only sequential axis, and each step is a large fused VPU program.
+
+Divergence containment (must-keep semantics, SURVEY.md §5.3): GP populations
+constantly produce expressions that blow up (``/`` by ~0); the reference stops
+those trajectories via ``diffrax.Event`` + ``throw=False`` and substitutes
+``max_fitness``. Here every lane carries an ``alive`` flag: a lane whose state
+leaves the finite range (or fails the env's bound check) freezes — its state
+stops updating so no NaN can propagate into the fused batch — and the
+evaluator maps dead lanes to ``max_fitness``.
+
+``substeps`` inner RK steps are taken between consecutive save points
+(dt = save_dt / substeps), replacing adaptive stepping with a statically
+shaped schedule that XLA can pipeline.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+# A state bound beyond which a lane is declared divergent even while finite —
+# keeps float32 overflow (-> inf in later ops) from sneaking through one step.
+DIVERGENCE_BOUND = 1e8
+
+
+def _finite(x: Array) -> Array:
+    return jnp.all(jnp.isfinite(x) & (jnp.abs(x) < DIVERGENCE_BOUND), axis=-1)
+
+
+def _euler_step(drift, t, x, dt):
+    return x + dt * drift(t, x)
+
+
+def _heun_step(drift, t, x, dt):
+    k1 = drift(t, x)
+    k2 = drift(t + dt, x + dt * k1)
+    return x + 0.5 * dt * (k1 + k2)
+
+
+def _rk4_step(drift, t, x, dt):
+    k1 = drift(t, x)
+    k2 = drift(t + 0.5 * dt, x + 0.5 * dt * k1)
+    k3 = drift(t + 0.5 * dt, x + 0.5 * dt * k2)
+    k4 = drift(t + dt, x + dt * k3)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+_STEPPERS = {"euler": _euler_step, "heun": _heun_step, "rk4": _rk4_step}
+
+
+def integrate(
+    drift: Callable[[Array, Array], Array],
+    x0: Array,
+    ts: Array,
+    method: str = "rk4",
+    substeps: int = 1,
+    cond_alive: Optional[Callable[[Array, Array], Array]] = None,
+) -> Tuple[Array, Array]:
+    """Integrate ``dx/dt = drift(t, x)`` over the save grid ``ts``.
+
+    Args:
+        drift: batched drift; ``x`` has shape ``(..., d)``, returns same.
+        x0: initial state ``(..., d)`` (any batch dims).
+        ts: save points ``(T,)`` — output includes ``x0`` at ``ts[0]``.
+        method: "euler" | "heun" | "rk4".
+        substeps: RK steps between consecutive save points.
+        cond_alive: optional extra liveness predicate ``(t, x) -> bool (...)``
+            (the env-specific divergence events, e.g. acrobot velocity bounds,
+            reference ``acrobot.py:86-87``).
+
+    Returns:
+        xs: ``(T, ..., d)`` states at the save points (frozen after death).
+        alive: ``(T, ...)`` liveness at each save point.
+    """
+    stepper = _STEPPERS[method]
+
+    def masked_step(t, x, alive, dt):
+        x_new = stepper(drift, t, x, dt)
+        ok = _finite(x_new)
+        if cond_alive is not None:
+            ok = ok & cond_alive(t + dt, x_new)
+        alive = alive & ok
+        x = jnp.where(alive[..., None], x_new, x)
+        return x, alive
+
+    def save_step(carry, t_pair):
+        x, alive = carry
+        t0, t1 = t_pair
+        dt = (t1 - t0) / substeps
+
+        def sub(i, c):
+            x, alive = c
+            return masked_step(t0 + i * dt, x, alive, dt)
+
+        x, alive = jax.lax.fori_loop(0, substeps, lambda i, c: sub(i, c), (x, alive))
+        return (x, alive), (x, alive)
+
+    alive0 = _finite(x0)
+    if cond_alive is not None:
+        alive0 = alive0 & cond_alive(ts[0], x0)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    (_, _), (xs, alives) = jax.lax.scan(save_step, (x0, alive0), t_pairs)
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    alives = jnp.concatenate([alive0[None], alives], axis=0)
+    return xs, alives
+
+
+def linear_interp(ts: Array, values: Array, t: Array) -> Array:
+    """Piecewise-linear interpolation of ``values`` (T, ...) sampled at ``ts``.
+
+    Replacement for ``diffrax.LinearInterpolation`` used by time-varying
+    environment parameters (reference ``harmonic_oscillator.py:141-167``).
+    """
+    t = jnp.clip(t, ts[0], ts[-1])
+    idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, ts.shape[0] - 2)
+    t0, t1 = ts[idx], ts[idx + 1]
+    w = jnp.where(t1 > t0, (t - t0) / (t1 - t0), 0.0)
+    v0 = values[idx]
+    v1 = values[idx + 1]
+    return v0 + w * (v1 - v0)
