@@ -1,0 +1,162 @@
+"""Dynamic (stateful) symbolic-policy evaluator.
+
+Behavioural spec (reference ``MultiTreeGP/evaluators/dynamic_evaluate.py``):
+the candidate is split into ``state_size`` hidden-state trees (layer 0) and
+``n_control`` readout trees (layer 1) (:83-84). The ODE state is augmented to
+``[env_state, hidden_a]`` with
+
+    u  = readout([0s(n_obs), a, 0s(n_control), target])      (:113)
+    dx = env.drift(t, x, u)
+    da = state_eq([y, a, u, target])                          (:116)
+
+Note the deliberate information bottleneck: inside the loop the readout sees
+only the hidden state (+ target) — observations and control slots are zeroed —
+while the post-hoc control replay feeds REAL observations (:101). This
+asymmetry is reference behaviour and is replicated exactly (SURVEY.md §8).
+
+Data contract: ``data = (x0, ts, targets, process_noise_keys, obs_noise_keys,
+params)``; data-vector layout for the trees is ``[y, a, u, target]`` — declare
+variables in that order (the reference prints the same requirement at
+construction, ``genetic_programming.py:201``).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ...core.interpreter import evaluate_trees
+from ...core.registry import FunctionSet
+from ...core.trees import TreeTensors
+from ..integrators import integrate
+
+
+class DynamicPolicyEvaluator:
+    """Fitness = env cost of the closed loop driven by a stateful policy."""
+
+    def __init__(
+        self,
+        env,
+        state_size: int,
+        fset: FunctionSet | None = None,
+        max_fitness: float = 1e4,
+        method: str = "rk4",
+        substeps: int = 4,
+    ) -> None:
+        self.env = env
+        self.fset = fset
+        self.state_size = state_size
+        self.max_fitness = max_fitness
+        self.method = method
+        self.substeps = substeps
+
+    def _split(self, population: TreeTensors):
+        s = self.state_size
+        state_eq = jax.tree_util.tree_map(lambda x: x[..., :s, :], population)
+        readout = jax.tree_util.tree_map(lambda x: x[..., s:, :], population)
+        return state_eq, readout
+
+    def _data_vec(self, y: Array, a: Array, u: Array, targets: Array) -> Array:
+        """[y, a, u, target] with targets broadcast over leading dims."""
+        tgt = jnp.broadcast_to(targets, y.shape[:-1] + targets.shape[-1:])
+        return jnp.concatenate([y, a, u, tgt], axis=-1)
+
+    def _rollout(self, population: TreeTensors, data: Tuple):
+        x0, ts, targets, _pk, obs_keys, params = data
+        env = self.env
+        p = population.batch_shape[0]
+        b = x0.shape[0]
+        latent = env.latent_size
+        n_obs, n_ctrl = env.n_obs, env.n_control
+        state_eq, readout = self._split(population[:, None])  # (P,1,m_i)
+
+        def drift(t, xa):  # xa: (P, B, latent + state_size)
+            x, a = xa[..., :latent], xa[..., latent:]
+            p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+            y = jax.vmap(
+                jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
+            )(obs_keys, t, x, p_t)  # (P, B, n_obs)
+            zeros_y = jnp.zeros_like(y)
+            zeros_u = jnp.zeros(y.shape[:-1] + (n_ctrl,))
+            u = evaluate_trees(
+                readout, self._data_vec(zeros_y, a, zeros_u, targets)[..., None, :], self.fset
+            )  # (P, B, n_control)
+            dx = jax.vmap(
+                jax.vmap(env.drift, in_axes=(None, 0, 0, 0)), in_axes=(None, 0, 0, None)
+            )(t, x, u, p_t)
+            da = evaluate_trees(
+                state_eq, self._data_vec(y, a, u, targets)[..., None, :], self.fset
+            )
+            return jnp.concatenate([dx, da], axis=-1)
+
+        def cond_alive(t, xa):
+            return jax.vmap(jax.vmap(lambda xi: env.cond_alive(t, xi[:latent])))(xa)
+
+        xa0 = jnp.concatenate([x0, jnp.zeros((b, self.state_size))], axis=-1)
+        xa0 = jnp.broadcast_to(xa0[None], (p, b, latent + self.state_size))
+        xas, alive = integrate(
+            drift, xa0, ts, method=self.method, substeps=self.substeps, cond_alive=cond_alive
+        )
+        return xas, alive
+
+    def _replay(self, population: TreeTensors, xas: Array, data: Tuple):
+        """Observations + post-hoc controls with REAL observations (:99-101)."""
+        _x0, ts, targets, _pk, obs_keys, params = data
+        env = self.env
+        latent = env.latent_size
+        _state_eq, readout = self._split(population[:, None])
+        xs = xas[..., :latent]
+        activities = xas[..., latent:]
+
+        def obs_at(t, x_t):
+            p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+            return jax.vmap(
+                jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
+            )(obs_keys, t, x_t, p_t)
+
+        ys = jax.vmap(obs_at)(ts, xs)  # (T, P, B, n_obs)
+        zeros_u = jnp.zeros(ys.shape[:-1] + (env.n_control,))
+        us = evaluate_trees(
+            readout, self._data_vec(ys, activities, zeros_u, targets)[..., None, :], self.fset
+        )
+        return xs, ys, us, activities
+
+    def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
+        """population batch (P, state_size + n_control); returns (P,)."""
+        _x0, ts, targets, _pk, _ok, params = data
+        env = self.env
+        xas, alive = self._rollout(population, data)
+        xs, ys, us, _acts = self._replay(population, xas, data)
+
+        xs_pb = jnp.transpose(xs, (1, 2, 0, 3))
+        us_pb = jnp.transpose(us, (1, 2, 0, 3))
+        cost = jax.vmap(
+            jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0)),
+            in_axes=(0, 0, None, None, None),
+        )(xs_pb, us_pb, targets, ts, params)  # (P, B)
+
+        bad = ~alive[-1] | ~jnp.isfinite(cost)
+        per_traj = jnp.where(bad, self.max_fitness, cost)
+        fitness = jnp.mean(per_traj, axis=-1)
+        return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
+
+    def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):
+        """Returns (xs, ys, us, activities, per-trajectory fitness)."""
+        pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
+        _x0, ts, targets, _pk, _ok, params = data
+        env = self.env
+        xas, alive = self._rollout(pop, data)
+        xs, ys, us, acts = self._replay(pop, xas, data)
+        xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
+        us_b = jnp.transpose(us[:, 0], (1, 0, 2))
+        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_b, us_b, targets, ts, params)
+        cost = jnp.where(~alive[-1, 0] | ~jnp.isfinite(cost), self.max_fitness, cost)
+        return (
+            xs_b,
+            jnp.transpose(ys[:, 0], (1, 0, 2)),
+            us_b,
+            jnp.transpose(acts[:, 0], (1, 0, 2)),
+            cost,
+        )

@@ -1,0 +1,108 @@
+"""Symbolic-regression evaluator: candidate trees ARE the drift function.
+
+Behavioural spec (reference ``MultiTreeGP/evaluators/SR_evaluator.py``): a
+candidate's trees define ``dx = trees(x)``; each candidate is integrated from
+every initial state over the save grid; fitness is the MSE against ground-truth
+trajectories, with NaN/Inf trajectories clamped to ``max_fitness = 1e5``
+(:22,42-45) and trajectory-mean fitness clipped to ``[0, max_fitness]``.
+
+TPU-first redesign: the reference calls ``diffrax.diffeqsolve`` once per
+(candidate x trajectory) under nested vmaps; here ONE ``lax.scan`` advances
+the whole ``(population x trajectories)`` state block per time step, with the
+fused interpreter evaluating every candidate's trees on every lane inside the
+drift (SURVEY.md §7 design delta 3). Divergence is contained per lane by the
+integrator's alive mask instead of a solver event.
+
+Data contract is the reference's: ``data = (x0s, ts, ys, process_noise_keys)``
+(the noise keys are accepted for API parity; live SR evaluation is pure ODE —
+the reference's Brownian path is commented out, ``SR_evaluator.py:73-74``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ...core.interpreter import evaluate_trees
+from ...core.registry import FunctionSet
+from ...core.trees import TreeTensors
+from ..integrators import integrate
+
+
+class SREvaluator:
+    """Fitness = trajectory-MSE of the candidate integrated as an ODE."""
+
+    def __init__(
+        self,
+        fset: FunctionSet | None = None,
+        max_fitness: float = 1e5,
+        method: str = "rk4",
+        substeps: int = 4,
+    ) -> None:
+        self.fset = fset
+        self.max_fitness = max_fitness
+        self.method = method
+        self.substeps = substeps
+
+    def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
+        """population: batch shape (P, m); returns fitness (P,)."""
+        x0s, ts, ys, _keys = data
+
+        xs, alive = self._rollout(population, x0s, ts)  # (T,P,B,d), (T,P,B)
+        # MSE per (P, B): mean over time of squared error summed over dims
+        # (reference fitness_function, SR_evaluator.py:24)
+        err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]  # (T,P,B,d)
+        mse = jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)  # (P,B)
+        diverged = ~alive[-1]
+        bad = diverged | ~jnp.isfinite(mse)
+        per_traj = jnp.where(bad, self.max_fitness, mse)
+        fitness = jnp.mean(per_traj, axis=-1)
+        return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
+
+    def _rollout(self, population: TreeTensors, x0s: Array, ts: Array):
+        p = population.batch_shape[0]
+        b, d = x0s.shape
+        trees = population[:, None]  # batch (P, 1, m) to broadcast over B
+
+        def drift(t, x):  # x: (P, B, d)
+            return evaluate_trees(trees, x[:, :, None, :], self.fset)
+
+        x0 = jnp.broadcast_to(x0s[None], (p, b, d))
+        return integrate(drift, x0, ts, method=self.method, substeps=self.substeps)
+
+    def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):
+        """Single-candidate API (predictions + per-trajectory fitness), for
+        inspection/plotting parity with the reference (:47-55)."""
+        x0s, ts, ys, _ = data
+        pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
+        xs, alive = self._rollout(pop, x0s, ts)
+        pred = xs[:, 0]  # (T, B, d)
+        err = jnp.mean(jnp.sum(jnp.square(pred - ys.transpose(1, 0, 2)), axis=-1), axis=0)
+        fitness = jnp.where(~alive[-1, 0] | ~jnp.isfinite(err), self.max_fitness, err)
+        return fitness, pred.transpose(1, 0, 2)
+
+    # reference-style call: fitness of one candidate given packed tensors
+    def __call__(self, candidate: TreeTensors, data: Tuple) -> Array:
+        fitness, _ = self.evaluate_candidate(candidate, data)
+        return jnp.clip(jnp.mean(fitness), 0.0, self.max_fitness)
+
+
+def generate_sr_data(env, key: Array, ts: Array, batch_size: int = 16,
+                     method: str = "rk4", substeps: int = 40) -> Tuple:
+    """Ground-truth trajectory generation for SR tasks — the role of the
+    notebook's ``get_data`` (SymbolicRegression.ipynb cell 2), with the
+    high-accuracy adaptive solve replaced by fine-substep RK4."""
+    import jax.random as jr
+
+    x_key, noise_key = jr.split(key)
+    x0s = env.sample_init_states(batch_size, x_key)
+    noise_keys = jr.split(noise_key, batch_size)
+
+    def drift(t, x):  # x: (B, d)
+        return jax.vmap(lambda xi: env.drift(t, xi))(x)
+
+    xs, _ = integrate(drift, x0s, ts, method=method, substeps=substeps)
+    return x0s, ts, xs.transpose(1, 0, 2), noise_keys

@@ -1,0 +1,135 @@
+"""Static (feedforward) symbolic-policy evaluator.
+
+Behavioural spec (reference ``MultiTreeGP/evaluators/feedforward_evaluate.py``):
+the candidate's trees map noisy observations (+ targets) to a control signal
+``u = trees([y, target])`` recomputed inside the ODE drift every step
+(:104-110); after integration, observations and controls are re-derived on the
+save grid (:96-97) and the fitness is the environment's cost over
+(states, controls) (:99), with diverged trajectories mapped to
+``max_fitness = 1e4`` (:27,48-51).
+
+TPU-first redesign: one ``lax.scan`` advances the full
+``(population x rollouts)`` closed-loop state; observation noise stays a
+deterministic function of t (``fold_in(key, bitcast(t))``), so the fixed-step
+scheme sees exactly the reference's noise semantics. Divergence (NaN or the
+env's bound event, e.g. acrobot velocity limits) freezes the lane via the
+integrator's alive mask.
+
+Data contract (reference ``evaluate_control_loop`` arg order):
+``data = (x0, ts, targets, process_noise_keys, obs_noise_keys, params)``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ...core.interpreter import evaluate_trees
+from ...core.registry import FunctionSet
+from ...core.trees import TreeTensors
+from ..integrators import integrate
+
+
+class StaticPolicyEvaluator:
+    """Fitness = env cost of the closed loop driven by the candidate policy."""
+
+    def __init__(
+        self,
+        env,
+        fset: FunctionSet | None = None,
+        max_fitness: float = 1e4,
+        method: str = "rk4",
+        substeps: int = 4,
+    ) -> None:
+        self.env = env
+        self.fset = fset
+        self.max_fitness = max_fitness
+        self.method = method
+        self.substeps = substeps
+
+    def _controls(self, policy: TreeTensors, obs: Array, targets: Array) -> Array:
+        """u = trees([y, target]) for obs (..., B, n_obs), targets (B, n_t)."""
+        data = jnp.concatenate(
+            [obs, jnp.broadcast_to(targets, obs.shape[:-1] + targets.shape[-1:])], axis=-1
+        )
+        return evaluate_trees(policy, data[..., None, :], self.fset)
+
+    def _rollout(self, population: TreeTensors, data: Tuple):
+        x0, ts, targets, _pkeys, obs_keys, params = data
+        p = population.batch_shape[0]
+        b = x0.shape[0]
+        trees = population[:, None]  # (P, 1, m)
+        env = self.env
+
+        def drift(t, x):  # x: (P, B, latent)
+            p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+            y = jax.vmap(  # over P
+                jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
+            )(obs_keys, t, x, p_t)  # (P, B, n_obs)
+            u = self._controls(trees, y, targets)  # (P, B, n_control)
+            dx = jax.vmap(
+                jax.vmap(env.drift, in_axes=(None, 0, 0, 0)), in_axes=(None, 0, 0, None)
+            )(t, x, u, p_t)
+            return dx
+
+        def cond_alive(t, x):  # (P, B, latent) -> (P, B)
+            return jax.vmap(jax.vmap(lambda xi: env.cond_alive(t, xi)))(x)
+
+        x0b = jnp.broadcast_to(x0[None], (p, b, x0.shape[-1]))
+        xs, alive = integrate(
+            drift, x0b, ts, method=self.method, substeps=self.substeps, cond_alive=cond_alive
+        )
+        return xs, alive
+
+    def _replay(self, population: TreeTensors, xs: Array, data: Tuple):
+        """Re-derive observations and controls on the save grid
+        (reference :96-97)."""
+        _x0, ts, targets, _pk, obs_keys, params = data
+        env = self.env
+
+        def obs_at(t, x_t):  # x_t: (P, B, latent)
+            p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+            return jax.vmap(
+                jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
+            )(obs_keys, t, x_t, p_t)
+
+        ys = jax.vmap(obs_at)(ts, xs)  # (T, P, B, n_obs)
+        us = self._controls(population[:, None], ys, data[2])  # (T, P, B, n_control)
+        return ys, us
+
+    def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
+        """population batch (P, m) with m == env.n_control; returns (P,)."""
+        _x0, ts, targets, _pk, _ok, params = data
+        xs, alive = self._rollout(population, data)
+        ys, us = self._replay(population, xs, data)
+        env = self.env
+
+        # env cost per (P, B) trajectory — xs to (P, B, T, ...)
+        xs_pb = jnp.transpose(xs, (1, 2, 0, 3))
+        us_pb = jnp.transpose(us, (1, 2, 0, 3))
+        cost = jax.vmap(  # over P
+            jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0)),
+            in_axes=(0, 0, None, None, None),
+        )(xs_pb, us_pb, targets, ts, params)  # (P, B)
+
+        diverged = ~alive[-1]
+        bad = diverged | ~jnp.isfinite(cost)
+        per_traj = jnp.where(bad, self.max_fitness, cost)
+        fitness = jnp.mean(per_traj, axis=-1)
+        return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
+
+    def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):
+        """Returns (xs, ys, us, per-trajectory fitness) for one candidate —
+        the reference's inspection API (:53-101)."""
+        pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
+        _x0, ts, targets, _pk, _ok, params = data
+        xs, alive = self._rollout(pop, data)
+        ys, us = self._replay(pop, xs, data)
+        env = self.env
+        xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
+        us_b = jnp.transpose(us[:, 0], (1, 0, 2))
+        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_b, us_b, targets, ts, params)
+        cost = jnp.where(~alive[-1, 0] | ~jnp.isfinite(cost), self.max_fitness, cost)
+        return xs_b, jnp.transpose(ys[:, 0], (1, 0, 2)), us_b, cost
