@@ -1,0 +1,89 @@
+"""Benchmark harness: node-evaluations/sec/chip on the pop-4096 ODE workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json north star): population 4096, ODE fitness — every
+candidate's trees are integrated by the fused (population x trajectories)
+RK4 rollout. "Node evaluations" counts interpreter row-steps: every tree row
+advanced on every lane of every drift call (the reference's unit is one
+``lax.switch`` dispatch per row, SURVEY.md §3.3 / BASELINE.md cost model).
+vs_baseline is measured against the 1e9 node-evals/sec/chip target.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+TARGET = 1.0e9  # node-evals/sec/chip north star (BASELINE.json)
+
+
+def main(
+    population_size: int = 4096,
+    batch_size: int = 16,
+    horizon: float = 10.0,
+    dt: float = 0.2,
+    substeps: int = 1,
+    max_nodes: int = 32,
+    repeats: int = 5,
+):
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.utils.metrics import node_evals_per_evaluation
+
+    operators = [
+        ("+", jnp.add, 2, 0.5),
+        ("-", jnp.subtract, 2, 0.1),
+        ("*", jnp.multiply, 2, 0.5),
+        ("/", jnp.divide, 2, 0.1),
+    ]
+    fset = build_function_set(operators, [["x0", "x1"]], [2])
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, horizon, dt)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=batch_size, substeps=8)
+
+    sampler = make_population_sampler(fset, max_init_depth=4, max_nodes=max_nodes)
+    pop = sampler(jr.PRNGKey(1), population_size)
+    evaluator = SREvaluator(fset, substeps=substeps)
+
+    eval_fn = jax.jit(lambda p: evaluator.evaluate_population(p, data))
+    fitness = jax.block_until_ready(eval_fn(pop))  # compile + warm up
+    assert bool(jnp.isfinite(fitness).all())
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(eval_fn(pop))
+        times.append(time.perf_counter() - t0)
+    dt_best = min(times)
+
+    node_evals = node_evals_per_evaluation(
+        population_size=population_size,
+        num_trees=fset.num_trees,
+        max_nodes=max_nodes,
+        batch_size=batch_size,
+        num_save_points=ts.shape[0],
+        substeps=substeps,
+        method=evaluator.method,
+    )
+    rate = node_evals / dt_best
+    print(
+        json.dumps(
+            {
+                "metric": "node_evals_per_sec_per_chip",
+                "value": rate,
+                "unit": "node-evals/s",
+                "vs_baseline": rate / TARGET,
+            }
+        )
+    )
+    return rate
+
+
+if __name__ == "__main__":
+    main()

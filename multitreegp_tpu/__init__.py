@@ -10,3 +10,4 @@ from .core.registry import FunctionSet, build_function_set
 from .core.trees import TreeTensors, EMPTY, CONST
 
 __version__ = "0.1.0"
+from .strategy import GeneticProgramming

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: whole-population tree interpreter.
+
+The north-star component (BASELINE.json): one kernel evaluates EVERY tree of
+EVERY candidate on EVERY data lane. Lanes are flattened
+``(islands x pop x trees x batch)`` and viewed as ``(G, S, 128)`` VPU tiles;
+the grid runs over ``G`` and each program instance keeps the full ``(N, S,
+128)`` value buffer resident in VMEM while sweeping tree rows bottom-up:
+
+* first operand: ``vals[i-1]`` — free, by the ``c1 == i-1`` layout invariant
+  (see :mod:`interpreter`);
+* second operand: in-kernel ``fori_loop`` select ladder over earlier rows
+  (``O(N)`` *compile-time* — unlike the unrolled XLA ladder this stays
+  compact for deep trees, so ``max_nodes`` 128+ compiles in seconds);
+* opcode dispatch: branch-free ``jnp.where`` ladder over the operator set on
+  full ``(S, 128)`` registers (VPU), constants/variables selected likewise.
+
+Zero HBM traffic between rows; everything after the initial block DMA happens
+in VMEM/registers.
+
+Semantics are bit-identical to ``interpreter.evaluate_trees`` (tested), except
+that this path is TPU-only; on CPU it falls back to the XLA implementation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .registry import FunctionSet
+from .trees import CONST, OP_START, TreeTensors
+
+try:  # Pallas is TPU/GPU-only at runtime; import is safe everywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# Lanes per program instance: S sublanes x 128 lanes.
+SUBLANES = 32
+LANE = 128
+TILE = SUBLANES * LANE
+
+
+def _make_kernel(fset: FunctionSet, n: int, v: int):
+    var_start = fset.var_start
+    fns = fset.operator_fns
+
+    def kernel(ops_ref, c2_ref, const_ref, data_ref, out_ref, vals_ref):
+        zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
+
+        def row(i, _):
+            op = ops_ref[i, 0]  # (S, 128) int32
+            x = vals_ref[jnp.maximum(i - 1, 0)]
+            c2 = c2_ref[i, 0]
+
+            def ladder(j, y):
+                return jnp.where(c2 == j, vals_ref[j], y)
+
+            y = jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, zero)
+
+            leaf = zero
+            for var in range(v):  # static unroll: V is small
+                leaf = jnp.where(op == var_start + var, data_ref[var, 0], leaf)
+
+            val = zero
+            one = jnp.ones((SUBLANES, LANE), jnp.float32)
+            for k, fn in enumerate(fns):
+                sel = op == (OP_START + k)
+                xs = jnp.where(sel, x, one)
+                ys = jnp.where(sel, y, one)
+                val = jnp.where(sel, fn(xs, ys), val)
+            val = jnp.where(op == CONST, const_ref[i, 0], val)
+            val = jnp.where(op >= var_start, leaf, val)
+            vals_ref[i] = val
+            return 0
+
+        jax.lax.fori_loop(0, n, row, 0, unroll=False)
+        out_ref[0] = vals_ref[n - 1]
+
+    return kernel
+
+
+def _run(ops, c2, const, data, fset: FunctionSet):
+    """ops/c2/const: (N, L); data: (V, L); returns (L,). L % TILE == 0."""
+    n, l = ops.shape
+    v = data.shape[0]
+    g = l // TILE
+    kernel = _make_kernel(fset, n, v)
+
+    def reshape(x):
+        return x.reshape(x.shape[0], g, SUBLANES, LANE)
+
+    spec3 = lambda rows: pl.BlockSpec(
+        (rows, 1, SUBLANES, LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[spec3(n), spec3(n), spec3(n), spec3(v)],
+        out_specs=pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, SUBLANES, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, SUBLANES, LANE), jnp.float32)],
+    )(reshape(ops), reshape(c2), reshape(const), reshape(data))
+    return out.reshape(l)
+
+
+def evaluate_trees_pallas(trees: TreeTensors, data: Array, fset: FunctionSet) -> Array:
+    """Drop-in replacement for ``interpreter.evaluate_trees`` (TPU only).
+
+    Broadcasts trees against data exactly like the XLA paths, flattens the
+    batch to lanes, pads to the tile size, and runs the kernel.
+    """
+    n = trees.max_nodes
+    batch = jnp.broadcast_shapes(trees.batch_shape, data.shape[:-1])
+    ops = jnp.broadcast_to(trees.ops, batch + (n,))
+    c2 = jnp.broadcast_to(trees.c2, batch + (n,))
+    const = jnp.broadcast_to(trees.const, batch + (n,))
+    data_b = jnp.broadcast_to(data, batch + data.shape[-1:])
+    v = data_b.shape[-1]
+
+    l = 1
+    for s in batch:
+        l *= s
+    pad = (-l) % TILE
+    lp = l + pad
+
+    def prep(x, rows):
+        flat = x.reshape(l, rows).T  # (rows, L)
+        return jnp.pad(flat, ((0, 0), (0, pad)))
+
+    out = _run(
+        prep(ops, n),
+        prep(c2, n),
+        prep(const.astype(jnp.float32), n),
+        prep(data_b.astype(jnp.float32), v),
+        fset,
+    )
+    return out[:l].reshape(batch)
+
+
+def pallas_available() -> bool:
+    return _HAS_PALLAS and jax.default_backend() == "tpu"

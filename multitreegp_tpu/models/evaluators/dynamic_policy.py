@@ -39,11 +39,13 @@ class DynamicPolicyEvaluator:
     def __init__(
         self,
         env,
-        state_size: int,
         fset: FunctionSet | None = None,
+        state_size: int = 1,
         max_fitness: float = 1e4,
         method: str = "rk4",
         substeps: int = 4,
+        remat: bool = False,
+        interpreter: str = "auto",
     ) -> None:
         self.env = env
         self.fset = fset
@@ -51,6 +53,8 @@ class DynamicPolicyEvaluator:
         self.max_fitness = max_fitness
         self.method = method
         self.substeps = substeps
+        self.remat = remat
+        self.interpreter = interpreter
 
     def _split(self, population: TreeTensors):
         s = self.state_size
@@ -81,13 +85,19 @@ class DynamicPolicyEvaluator:
             zeros_y = jnp.zeros_like(y)
             zeros_u = jnp.zeros(y.shape[:-1] + (n_ctrl,))
             u = evaluate_trees(
-                readout, self._data_vec(zeros_y, a, zeros_u, targets)[..., None, :], self.fset
+                readout,
+                self._data_vec(zeros_y, a, zeros_u, targets)[..., None, :],
+                self.fset,
+                impl=self.interpreter,
             )  # (P, B, n_control)
             dx = jax.vmap(
                 jax.vmap(env.drift, in_axes=(None, 0, 0, 0)), in_axes=(None, 0, 0, None)
             )(t, x, u, p_t)
             da = evaluate_trees(
-                state_eq, self._data_vec(y, a, u, targets)[..., None, :], self.fset
+                state_eq,
+                self._data_vec(y, a, u, targets)[..., None, :],
+                self.fset,
+                impl=self.interpreter,
             )
             return jnp.concatenate([dx, da], axis=-1)
 
@@ -97,7 +107,8 @@ class DynamicPolicyEvaluator:
         xa0 = jnp.concatenate([x0, jnp.zeros((b, self.state_size))], axis=-1)
         xa0 = jnp.broadcast_to(xa0[None], (p, b, latent + self.state_size))
         xas, alive = integrate(
-            drift, xa0, ts, method=self.method, substeps=self.substeps, cond_alive=cond_alive
+            drift, xa0, ts, method=self.method, substeps=self.substeps,
+            cond_alive=cond_alive, remat=self.remat,
         )
         return xas, alive
 
@@ -119,7 +130,10 @@ class DynamicPolicyEvaluator:
         ys = jax.vmap(obs_at)(ts, xs)  # (T, P, B, n_obs)
         zeros_u = jnp.zeros(ys.shape[:-1] + (env.n_control,))
         us = evaluate_trees(
-            readout, self._data_vec(ys, activities, zeros_u, targets)[..., None, :], self.fset
+            readout,
+            self._data_vec(ys, activities, zeros_u, targets)[..., None, :],
+            self.fset,
+            impl=self.interpreter,
         )
         return xs, ys, us, activities
 

@@ -41,11 +41,15 @@ class SREvaluator:
         max_fitness: float = 1e5,
         method: str = "rk4",
         substeps: int = 4,
+        remat: bool = False,
+        interpreter: str = "auto",
     ) -> None:
         self.fset = fset
         self.max_fitness = max_fitness
         self.method = method
         self.substeps = substeps
+        self.remat = remat
+        self.interpreter = interpreter
 
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
@@ -68,10 +72,10 @@ class SREvaluator:
         trees = population[:, None]  # batch (P, 1, m) to broadcast over B
 
         def drift(t, x):  # x: (P, B, d)
-            return evaluate_trees(trees, x[:, :, None, :], self.fset)
+            return evaluate_trees(trees, x[:, :, None, :], self.fset, impl=self.interpreter)
 
         x0 = jnp.broadcast_to(x0s[None], (p, b, d))
-        return integrate(drift, x0, ts, method=self.method, substeps=self.substeps)
+        return integrate(drift, x0, ts, method=self.method, substeps=self.substeps, remat=self.remat)
 
     def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):
         """Single-candidate API (predictions + per-trajectory fitness), for

@@ -42,19 +42,23 @@ class StaticPolicyEvaluator:
         max_fitness: float = 1e4,
         method: str = "rk4",
         substeps: int = 4,
+        remat: bool = False,
+        interpreter: str = "auto",
     ) -> None:
         self.env = env
         self.fset = fset
         self.max_fitness = max_fitness
         self.method = method
         self.substeps = substeps
+        self.remat = remat
+        self.interpreter = interpreter
 
     def _controls(self, policy: TreeTensors, obs: Array, targets: Array) -> Array:
         """u = trees([y, target]) for obs (..., B, n_obs), targets (B, n_t)."""
         data = jnp.concatenate(
             [obs, jnp.broadcast_to(targets, obs.shape[:-1] + targets.shape[-1:])], axis=-1
         )
-        return evaluate_trees(policy, data[..., None, :], self.fset)
+        return evaluate_trees(policy, data[..., None, :], self.fset, impl=self.interpreter)
 
     def _rollout(self, population: TreeTensors, data: Tuple):
         x0, ts, targets, _pkeys, obs_keys, params = data
@@ -79,7 +83,8 @@ class StaticPolicyEvaluator:
 
         x0b = jnp.broadcast_to(x0[None], (p, b, x0.shape[-1]))
         xs, alive = integrate(
-            drift, x0b, ts, method=self.method, substeps=self.substeps, cond_alive=cond_alive
+            drift, x0b, ts, method=self.method, substeps=self.substeps,
+            cond_alive=cond_alive, remat=self.remat,
         )
         return xs, alive
 

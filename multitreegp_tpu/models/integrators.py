@@ -65,6 +65,7 @@ def integrate(
     method: str = "rk4",
     substeps: int = 1,
     cond_alive: Optional[Callable[[Array, Array], Array]] = None,
+    remat: bool = False,
 ) -> Tuple[Array, Array]:
     """Integrate ``dx/dt = drift(t, x)`` over the save grid ``ts``.
 
@@ -77,6 +78,9 @@ def integrate(
         cond_alive: optional extra liveness predicate ``(t, x) -> bool (...)``
             (the env-specific divergence events, e.g. acrobot velocity bounds,
             reference ``acrobot.py:86-87``).
+        remat: rematerialise each save step under reverse-mode AD (checkpointed
+            scan — trades FLOPs for memory when differentiating the rollout
+            for constant optimisation).
 
     Returns:
         xs: ``(T, ..., d)`` states at the save points (frozen after death).
@@ -104,6 +108,9 @@ def integrate(
 
         x, alive = jax.lax.fori_loop(0, substeps, lambda i, c: sub(i, c), (x, alive))
         return (x, alive), (x, alive)
+
+    if remat:
+        save_step = jax.checkpoint(save_step)
 
     alive0 = _finite(x0)
     if cond_alive is not None:

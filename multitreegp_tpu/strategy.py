@@ -1,0 +1,358 @@
+"""Top-level strategy: the ``GeneticProgramming`` class.
+
+API-compatible (at the semantic level) with the reference's strategy layer
+(``MultiTreeGP/genetic_programming.py:33-537``): the same constructor surface
+(25 hyperparameters incl. per-island linspace schedules), the same host-driven
+loop methods — ``initialize_population`` / ``evaluate_population`` / ``evolve``
+/ ``get_statistics`` / ``to_string`` — plus what the reference lacks:
+
+* ``fit(key, data, ...)`` — the ENTIRE evolution run as one jitted
+  ``lax.scan`` over generations (evaluate -> constant-opt -> select ->
+  reproduce -> migrate fused on device, no host round-trip per generation;
+  SURVEY.md §7 design delta 5);
+* sharding over a device mesh via ``NamedSharding`` constraints
+  (islands = data-parallel axis) instead of per-call ``device_put``;
+* checkpoint/resume hooks (the reference has none, SURVEY.md §5.4).
+
+Intentional fixes of reference quirks (SURVEY.md §8): ``size_parsimony`` is
+spelled correctly (the misspelled ``size_parsinomy`` is accepted as an alias);
+the constant-optimisation top-k is configurable instead of hardcoded 50;
+``elite_percentage`` is a float.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+from jax import Array
+
+from .core.interpreter import evaluate_trees, make_candidate_evaluator
+from .core.registry import FunctionSet, build_function_set
+from .core.trees import TreeTensors, tree_sizes
+from .ops.constant_opt import make_constant_optimiser
+from .ops.initialization import make_population_sampler, make_tree_sampler
+from .ops.mutation import make_mutators
+from .ops.reproduction import (
+    island_hyperparams,
+    make_evolve_island,
+    make_evolve_populations,
+)
+from .parallel.mesh import make_mesh, shard_population
+from .utils.render import candidate_to_string
+
+
+class GeneticProgramming:
+    """Genetic programming over multi-tree symbolic expressions on TPU."""
+
+    def __init__(
+        self,
+        num_generations: int,
+        population_size: int,
+        fitness_function,  # evaluator object with .evaluate_population(pop, data)
+        operator_list: Sequence[Tuple],
+        variable_list: Sequence[Sequence[str]],
+        layer_sizes: Sequence[int],
+        num_populations: int = 1,
+        max_init_depth: int = 4,
+        max_nodes: int = 30,
+        device_type: Optional[str] = None,  # kept for API parity; mesh arg wins
+        tournament_size: int = 7,
+        size_parsimony: float = 0.0,
+        coefficient_sd: float = 1.0,
+        migration_period: int = 10,
+        migration_percentage: float = 0.1,
+        elite_percentage: float = 0.1,
+        coefficient_optimisation: bool = False,
+        gradient_steps: int = 10,
+        optimiser: Optional[optax.GradientTransformation] = None,
+        coefficient_opt_top_k: int = 50,
+        selection_pressure_factors: Tuple[float, float] = (0.6, 0.9),
+        reproduction_probability_factors: Tuple[float, float] = (1.0, 0.5),
+        crossover_probability_factors: Tuple[float, float] = (0.9, 0.4),
+        mutation_probability_factors: Tuple[float, float] = (0.1, 0.5),
+        sample_probability_factors: Tuple[float, float] = (0.0, 0.1),
+        mesh=None,
+        **kwargs,
+    ) -> None:
+        # reference-spelling alias (genetic_programming.py:72 "size_parsinomy")
+        if "size_parsinomy" in kwargs:
+            size_parsimony = kwargs.pop("size_parsinomy")
+        if kwargs:
+            raise TypeError(f"unknown arguments: {sorted(kwargs)}")
+
+        assert num_populations > 0, "num_populations must be positive"
+        assert population_size > 0 and population_size % 2 == 0, (
+            "population_size must be positive and even"
+        )
+        assert max_init_depth > 0 and max_nodes > 0
+        assert migration_period > 1, "migration_period must be > 1"
+        assert (
+            abs(
+                migration_percentage * population_size
+                - round(migration_percentage * population_size)
+            )
+            < 1e-6
+        ), "migration size must be an integer"
+        assert tournament_size > 1, "tournament_size must be > 1"
+
+        self.num_generations = num_generations
+        self.population_size = population_size
+        self.num_populations = num_populations
+        self.max_init_depth = max_init_depth
+        self.max_nodes = max_nodes
+        self.tournament_size = tournament_size
+        self.size_parsimony = float(size_parsimony)
+        self.coefficient_sd = coefficient_sd
+        self.migration_period = migration_period
+        self.migration_size = int(round(migration_percentage * population_size))
+        self.elite_size = int(elite_percentage * population_size)
+        assert self.elite_size % 2 == 0, "elite size must be even"
+        self.coefficient_optimisation = coefficient_optimisation
+        self.gradient_steps = gradient_steps
+        self.coefficient_opt_top_k = min(
+            coefficient_opt_top_k, num_populations * population_size
+        )
+
+        self.fset: FunctionSet = build_function_set(operator_list, variable_list, layer_sizes)
+        self.num_trees = self.fset.num_trees
+
+        self.evaluator = fitness_function
+        if getattr(self.evaluator, "fset", None) is None:
+            self.evaluator.fset = self.fset
+
+        # genetic machinery
+        self.sample_tree = make_tree_sampler(self.fset, max_init_depth, max_nodes, coefficient_sd)
+        self.sample_population = make_population_sampler(
+            self.fset, max_init_depth, max_nodes, coefficient_sd
+        )
+        self.mutate_candidate, self.mutate_tree, _ = make_mutators(
+            self.fset, self.sample_tree, max_nodes, max_init_depth, coefficient_sd
+        )
+
+        def sample_candidate(key):
+            keys = jr.split(key, self.num_trees)
+            return jax.vmap(self.sample_tree, in_axes=(0, None, 0))(
+                keys, jnp.int32(max_init_depth), self.fset.variable_mask
+            )
+
+        self._sample_candidate = sample_candidate
+
+        evolve_island = make_evolve_island(
+            self.fset,
+            self.mutate_candidate,
+            sample_candidate,
+            population_size,
+            self.elite_size,
+            tournament_size,
+        )
+        (
+            self.tournament_probabilities,
+            self.reproduction_type_probabilities,
+            self.reproduction_probabilities,
+        ) = island_hyperparams(
+            num_populations,
+            tournament_size,
+            selection_pressure_factors,
+            reproduction_probability_factors,
+            crossover_probability_factors,
+            mutation_probability_factors,
+            sample_probability_factors,
+        )
+        self._evolve_populations = make_evolve_populations(
+            evolve_island,
+            migration_period,
+            self.migration_size,
+            self.reproduction_type_probabilities,
+            self.reproduction_probabilities,
+            self.tournament_probabilities,
+        )
+
+        self._optimise = make_constant_optimiser(
+            lambda pop, data: self.evaluator.evaluate_population(pop, data),
+            optimiser,
+            gradient_steps,
+        )
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        # best-so-far history (host mirrors of reference :100-101)
+        self.current_generation = 0
+        self.best_fitnesses = jnp.full((num_generations,), jnp.inf)
+        self.best_solutions = None  # lazily shaped on first evaluation
+
+        # jitted hot paths
+        self._jit_eval = jax.jit(self._evaluate_core)
+        self._jit_evolve = jax.jit(self._evolve_populations)
+        self._jit_optimise = jax.jit(self._optimise_core)
+
+        # the reference-style per-candidate tree evaluator handed to users
+        self.tree_evaluator = make_candidate_evaluator(self.fset)
+
+    # ------------------------------------------------------------------ API
+
+    def initialize_population(self, key: Array) -> TreeTensors:
+        """(islands, pop, trees, nodes) tree tensors
+        (reference :298-308)."""
+        keys = jr.split(key, self.num_populations)
+        return jax.vmap(lambda k: self.sample_population(k, self.population_size))(keys)
+
+    def _flat_eval(self, flat_pop: TreeTensors, data) -> Array:
+        fitness = self.evaluator.evaluate_population(flat_pop, data)
+        # parsimony pressure: fitness + size_parsimony * node count
+        # (reference :424)
+        if self.size_parsimony:
+            fitness = fitness + self.size_parsimony * jnp.sum(
+                tree_sizes(flat_pop), axis=-1
+            )
+        return fitness
+
+    def _evaluate_core(self, populations: TreeTensors, data) -> Array:
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((self.num_populations * self.population_size,) + x.shape[2:]),
+            populations,
+        )
+        fitness = self._flat_eval(flat, data)
+        return fitness.reshape(self.num_populations, self.population_size)
+
+    def _optimise_core(self, populations: TreeTensors, fitness: Array, data):
+        """Refine constants of the global top-k and splice results back
+        (reference :418-422)."""
+        k = self.coefficient_opt_top_k
+        flat_pop = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), populations
+        )
+        flat_fit = fitness.reshape(-1)
+        best_idx = jnp.argsort(flat_fit)[:k]
+        cands = jax.tree_util.tree_map(lambda x: x[best_idx], flat_pop)
+        opt_fit, opt_cands = self._optimise(cands, data)
+        # keep optimised only where better (best-over-epochs already includes
+        # the unoptimised candidate, so this is monotone)
+        flat_pop = jax.tree_util.tree_map(
+            lambda x, o: x.at[best_idx].set(o), flat_pop, opt_cands
+        )
+        flat_fit = flat_fit.at[best_idx].set(opt_fit)
+        pop = jax.tree_util.tree_map(
+            lambda x: x.reshape(
+                (self.num_populations, self.population_size) + x.shape[1:]
+            ),
+            flat_pop,
+        )
+        return pop, flat_fit.reshape(self.num_populations, self.population_size)
+
+    def evaluate_population(
+        self, populations: TreeTensors, data
+    ) -> Tuple[Array, TreeTensors]:
+        """Host-loop parity API (reference :403-433): returns
+        (fitness (islands, pop), possibly constant-optimised populations) and
+        records the generation's best."""
+        fitness = self._jit_eval(populations, data)
+
+        if (
+            self.coefficient_optimisation
+            and self.current_generation > 10
+            and (self.current_generation + 1) % 5 == 0
+        ):
+            populations, opt_fitness = self._jit_optimise(populations, fitness, data)
+            # re-apply parsimony on optimised entries is unnecessary: constant
+            # optimisation does not change tree sizes
+            fitness = opt_fitness
+
+        flat_fit = fitness.reshape(-1)
+        best = int(jnp.argmin(flat_fit))
+        best_fitness = flat_fit[best]
+        flat_pop = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), populations
+        )
+        best_solution = jax.tree_util.tree_map(lambda x: x[best], flat_pop)
+
+        if self.best_solutions is None:
+            self.best_solutions = jax.tree_util.tree_map(
+                lambda x: jnp.zeros((self.num_generations,) + x.shape, x.dtype),
+                best_solution,
+            )
+        gen = min(self.current_generation, self.num_generations - 1)
+        self.best_fitnesses = self.best_fitnesses.at[gen].set(best_fitness)
+        self.best_solutions = jax.tree_util.tree_map(
+            lambda h, b: h.at[gen].set(b), self.best_solutions, best_solution
+        )
+        return fitness, populations
+
+    def evolve(self, populations: TreeTensors, fitness: Array, key: Array) -> TreeTensors:
+        """One generation step (reference :475-497)."""
+        out = self._jit_evolve(populations, fitness, key, jnp.int32(self.current_generation))
+        self.current_generation += 1
+        return out
+
+    def optimise(self, candidates: TreeTensors, data) -> Tuple[Array, TreeTensors]:
+        """Direct access to constant optimisation (reference :454-473)."""
+        return self._optimise(candidates, data)
+
+    def get_statistics(self, generation: Optional[int] = None):
+        if generation is not None:
+            return self.best_fitnesses[generation], jax.tree_util.tree_map(
+                lambda x: x[generation], self.best_solutions
+            )
+        return self.best_fitnesses, self.best_solutions
+
+    def to_string(self, candidate: TreeTensors) -> str:
+        return candidate_to_string(candidate, self.fset)
+
+    # ------------------------------------------------------- fused fit loop
+
+    def fit(
+        self,
+        key: Array,
+        data,
+        num_generations: Optional[int] = None,
+        shard: bool = False,
+    ):
+        """Run the whole evolution as one on-device ``lax.scan``.
+
+        Returns ``(best_fitness_per_gen (G,), best_solutions (G, trees, N),
+        final_populations, final_fitness)``. With ``shard=True`` the island
+        axis is sharded over the mesh (pure SPMD; migration becomes an ICI
+        collective permute).
+        """
+        g = num_generations or self.num_generations
+        init_key, run_key = jr.split(key)
+        populations = self.initialize_population(init_key)
+        if shard:
+            populations = shard_population(populations, None, self.mesh)
+
+        use_const_opt = self.coefficient_optimisation
+
+        def generation(carry, gen):
+            populations, key = carry
+            key, evolve_key = jr.split(key)
+            fitness = self._evaluate_core(populations, data)
+            if use_const_opt:
+                do = (gen > 10) & ((gen + 1) % 5 == 0)
+                populations, fitness = jax.lax.cond(
+                    do,
+                    lambda p, f: self._optimise_core(p, f, data),
+                    lambda p, f: (p, f),
+                    populations,
+                    fitness,
+                )
+            flat_fit = fitness.reshape(-1)
+            best = jnp.argmin(flat_fit)
+            flat_pop = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), populations
+            )
+            best_solution = jax.tree_util.tree_map(lambda x: x[best], flat_pop)
+            new_pop = self._evolve_populations(populations, fitness, evolve_key, gen)
+            if shard:
+                new_pop = shard_population(new_pop, None, self.mesh)
+            return (new_pop, key), (flat_fit[best], best_solution, fitness)
+
+        (final_pop, _), (best_fit, best_sol, fitness_hist) = jax.lax.scan(
+            generation, (populations, run_key), jnp.arange(g)
+        )
+        self.best_fitnesses = best_fit
+        self.best_solutions = best_sol
+        self.current_generation = g
+        return best_fit, best_sol, final_pop, fitness_hist[-1]

@@ -116,3 +116,22 @@ def test_gradient_through_const(fset):
 
     g = jax.grad(f)(2.0)
     np.testing.assert_allclose(g, 3.0, rtol=1e-6)
+
+
+def test_ladder_equals_gather(fset):
+    """Both interpreter implementations agree on random populations."""
+    import jax.random as jr
+    from multitreegp_tpu.core.interpreter import (
+        evaluate_trees_gather,
+        evaluate_trees_ladder,
+    )
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    sampler = make_population_sampler(fset, max_init_depth=4, max_nodes=32)
+    pop = sampler(jr.PRNGKey(0), 64)  # (64, 1, 32)
+    data = jnp.asarray(np.random.RandomState(1).randn(64, 1, 2), jnp.float32)
+    a = evaluate_trees_ladder(pop, data, fset)
+    b = evaluate_trees_gather(pop, data, fset)
+    mask = np.isfinite(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(a)[mask], np.asarray(b)[mask], rtol=1e-6)
+    np.testing.assert_array_equal(mask, np.isfinite(np.asarray(b)))
