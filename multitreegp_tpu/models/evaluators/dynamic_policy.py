@@ -30,7 +30,7 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate
+from ..integrators import integrate, integrate_sde
 
 
 class DynamicPolicyEvaluator:
@@ -46,6 +46,7 @@ class DynamicPolicyEvaluator:
         substeps: int = 4,
         remat: bool = False,
         interpreter: str = "auto",
+        stochastic: bool = False,
     ) -> None:
         self.env = env
         self.fset = fset
@@ -55,6 +56,7 @@ class DynamicPolicyEvaluator:
         self.substeps = substeps
         self.remat = remat
         self.interpreter = interpreter
+        self.stochastic = stochastic
 
     def _split(self, population: TreeTensors):
         s = self.state_size
@@ -106,10 +108,28 @@ class DynamicPolicyEvaluator:
 
         xa0 = jnp.concatenate([x0, jnp.zeros((b, self.state_size))], axis=-1)
         xa0 = jnp.broadcast_to(xa0[None], (p, b, latent + self.state_size))
-        xas, alive = integrate(
-            drift, xa0, ts, method=self.method, substeps=self.substeps,
-            cond_alive=cond_alive, remat=self.remat,
-        )
+        if self.stochastic and getattr(env, "process_noise", 0.0) > 0.0:
+            u0 = jnp.zeros((n_ctrl,))
+
+            def diffusion(t, xa):  # process noise only on the env latent part
+                x = xa[..., :latent]
+                p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+                g = jax.vmap(
+                    jax.vmap(env.diffusion, in_axes=(None, 0, None, 0)),
+                    in_axes=(None, 0, None, None),
+                )(t, x, u0, p_t)  # (P, B, latent, latent)
+                full = jnp.zeros(xa.shape + (xa.shape[-1],))
+                return full.at[..., :latent, :latent].set(g)
+
+            xas, alive = integrate_sde(
+                drift, diffusion, xa0, ts, data[3], method="euler",
+                substeps=self.substeps, cond_alive=cond_alive, remat=self.remat,
+            )
+        else:
+            xas, alive = integrate(
+                drift, xa0, ts, method=self.method, substeps=self.substeps,
+                cond_alive=cond_alive, remat=self.remat,
+            )
         return xas, alive
 
     def _replay(self, population: TreeTensors, xas: Array, data: Tuple):

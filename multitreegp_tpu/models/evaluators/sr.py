@@ -29,11 +29,17 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate
+from ..integrators import integrate, integrate_sde
 
 
 class SREvaluator:
-    """Fitness = trajectory-MSE of the candidate integrated as an ODE."""
+    """Fitness = trajectory-MSE of the candidate integrated as an ODE.
+
+    With ``process_noise > 0`` the candidate is instead integrated as an SDE
+    ``dx = trees(x) dt + process_noise dW`` (Euler-Maruyama) using the data
+    tuple's per-trajectory ``process_noise_keys`` — the working version of the
+    reference's commented-out Brownian path (``SR_evaluator.py:73-74``).
+    """
 
     def __init__(
         self,
@@ -43,6 +49,7 @@ class SREvaluator:
         substeps: int = 4,
         remat: bool = False,
         interpreter: str = "auto",
+        process_noise: float = 0.0,
     ) -> None:
         self.fset = fset
         self.max_fitness = max_fitness
@@ -50,12 +57,13 @@ class SREvaluator:
         self.substeps = substeps
         self.remat = remat
         self.interpreter = interpreter
+        self.process_noise = process_noise
 
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
-        x0s, ts, ys, _keys = data
+        x0s, ts, ys, keys = data
 
-        xs, alive = self._rollout(population, x0s, ts)  # (T,P,B,d), (T,P,B)
+        xs, alive = self._rollout(population, x0s, ts, keys)  # (T,P,B,d), (T,P,B)
         # MSE per (P, B): mean over time of squared error summed over dims
         # (reference fitness_function, SR_evaluator.py:24)
         err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]  # (T,P,B,d)
@@ -66,7 +74,7 @@ class SREvaluator:
         fitness = jnp.mean(per_traj, axis=-1)
         return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
 
-    def _rollout(self, population: TreeTensors, x0s: Array, ts: Array):
+    def _rollout(self, population: TreeTensors, x0s: Array, ts: Array, keys: Array | None = None):
         p = population.batch_shape[0]
         b, d = x0s.shape
         trees = population[:, None]  # batch (P, 1, m) to broadcast over B
@@ -75,14 +83,19 @@ class SREvaluator:
             return evaluate_trees(trees, x[:, :, None, :], self.fset, impl=self.interpreter)
 
         x0 = jnp.broadcast_to(x0s[None], (p, b, d))
+        if self.process_noise > 0.0 and keys is not None:
+            return integrate_sde(
+                drift, lambda t, x: jnp.full_like(x, self.process_noise), x0, ts,
+                keys, method="euler", substeps=self.substeps, remat=self.remat,
+            )
         return integrate(drift, x0, ts, method=self.method, substeps=self.substeps, remat=self.remat)
 
     def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):
         """Single-candidate API (predictions + per-trajectory fitness), for
         inspection/plotting parity with the reference (:47-55)."""
-        x0s, ts, ys, _ = data
+        x0s, ts, ys, keys = data
         pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
-        xs, alive = self._rollout(pop, x0s, ts)
+        xs, alive = self._rollout(pop, x0s, ts, keys)
         pred = xs[:, 0]  # (T, B, d)
         err = jnp.mean(jnp.sum(jnp.square(pred - ys.transpose(1, 0, 2)), axis=-1), axis=0)
         fitness = jnp.where(~alive[-1, 0] | ~jnp.isfinite(err), self.max_fitness, err)
@@ -98,7 +111,9 @@ def generate_sr_data(env, key: Array, ts: Array, batch_size: int = 16,
                      method: str = "rk4", substeps: int = 40) -> Tuple:
     """Ground-truth trajectory generation for SR tasks — the role of the
     notebook's ``get_data`` (SymbolicRegression.ipynb cell 2), with the
-    high-accuracy adaptive solve replaced by fine-substep RK4."""
+    high-accuracy adaptive solve replaced by fine-substep RK4. Environments
+    with ``process_noise > 0`` are rolled out as SDEs (Euler-Maruyama over
+    ``env.diffusion``)."""
     import jax.random as jr
 
     x_key, noise_key = jr.split(key)
@@ -108,5 +123,13 @@ def generate_sr_data(env, key: Array, ts: Array, batch_size: int = 16,
     def drift(t, x):  # x: (B, d)
         return jax.vmap(lambda xi: env.drift(t, xi))(x)
 
-    xs, _ = integrate(drift, x0s, ts, method=method, substeps=substeps)
+    if getattr(env, "process_noise", 0.0) > 0.0:
+        def diffusion(t, x):  # (B, d, d) matrix per lane
+            return jax.vmap(lambda xi: env.diffusion(t, xi))(x)
+
+        xs, _ = integrate_sde(
+            drift, diffusion, x0s, ts, noise_keys, method="euler", substeps=substeps
+        )
+    else:
+        xs, _ = integrate(drift, x0s, ts, method=method, substeps=substeps)
     return x0s, ts, xs.transpose(1, 0, 2), noise_keys

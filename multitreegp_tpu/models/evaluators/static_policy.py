@@ -29,7 +29,7 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate
+from ..integrators import integrate, integrate_sde
 
 
 class StaticPolicyEvaluator:
@@ -44,6 +44,7 @@ class StaticPolicyEvaluator:
         substeps: int = 4,
         remat: bool = False,
         interpreter: str = "auto",
+        stochastic: bool = False,
     ) -> None:
         self.env = env
         self.fset = fset
@@ -52,6 +53,7 @@ class StaticPolicyEvaluator:
         self.substeps = substeps
         self.remat = remat
         self.interpreter = interpreter
+        self.stochastic = stochastic
 
     def _controls(self, policy: TreeTensors, obs: Array, targets: Array) -> Array:
         """u = trees([y, target]) for obs (..., B, n_obs), targets (B, n_t)."""
@@ -82,10 +84,25 @@ class StaticPolicyEvaluator:
             return jax.vmap(jax.vmap(lambda xi: env.cond_alive(t, xi)))(x)
 
         x0b = jnp.broadcast_to(x0[None], (p, b, x0.shape[-1]))
-        xs, alive = integrate(
-            drift, x0b, ts, method=self.method, substeps=self.substeps,
-            cond_alive=cond_alive, remat=self.remat,
-        )
+        if self.stochastic and getattr(env, "process_noise", 0.0) > 0.0:
+            u0 = jnp.zeros((env.n_control,))
+
+            def diffusion(t, x):  # (P, B, latent, latent)
+                p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+                return jax.vmap(
+                    jax.vmap(env.diffusion, in_axes=(None, 0, None, 0)),
+                    in_axes=(None, 0, None, None),
+                )(t, x, u0, p_t)
+
+            xs, alive = integrate_sde(
+                drift, diffusion, x0b, ts, data[3], method="euler",
+                substeps=self.substeps, cond_alive=cond_alive, remat=self.remat,
+            )
+        else:
+            xs, alive = integrate(
+                drift, x0b, ts, method=self.method, substeps=self.substeps,
+                cond_alive=cond_alive, remat=self.remat,
+            )
         return xs, alive
 
     def _replay(self, population: TreeTensors, xs: Array, data: Tuple):

@@ -122,6 +122,88 @@ def integrate(
     return xs, alives
 
 
+def integrate_sde(
+    drift: Callable[[Array, Array], Array],
+    diffusion: Callable[[Array, Array], Array],
+    x0: Array,
+    ts: Array,
+    noise_keys: Array,
+    method: str = "euler",
+    substeps: int = 1,
+    cond_alive: Optional[Callable[[Array, Array], Array]] = None,
+    remat: bool = False,
+) -> Tuple[Array, Array]:
+    """Integrate ``dx = drift dt + diffusion dW`` (Euler-Maruyama / drift-RK).
+
+    The reference scaffolds SDE support (env ``diffusion`` methods, Brownian
+    paths in the legacy ``EvaluatorMT``, ``dynamic_evaluate.py:200-209``) but
+    all live evaluators integrate pure ODEs; this is the working TPU
+    equivalent. Brownian increments are a *deterministic function of the step
+    time* — ``fold_in(key, bitcast(t))``, the same discipline as observation
+    noise (``control_environment_base.py:43-48``) — so a trajectory is
+    reproducible from its key alone.
+
+    Args:
+        drift: batched drift ``(t, x (..., d)) -> (..., d)``.
+        diffusion: batched diffusion factor ``(t, x) -> (..., d)`` (diagonal)
+            or ``(..., d, d)`` (matrix, applied to dW on the right).
+        x0: ``(..., d)``; the LAST batch axis indexes trajectories and maps
+            1:1 onto ``noise_keys``.
+        ts: save grid ``(T,)``.
+        noise_keys: ``(B,)`` PRNG keys, one per trajectory lane (the
+            evaluator data tuple's ``process_noise_keys``).
+        method: drift discretisation between noise kicks ("euler" | "heun").
+        substeps / cond_alive / remat: as in :func:`integrate`.
+
+    Returns ``(xs (T, ..., d), alive (T, ...))``.
+    """
+    stepper = _STEPPERS[method]
+    d = x0.shape[-1]
+
+    def dW(t, dt):  # (B, d) standard Brownian increment for this substep
+        bits = jax.lax.bitcast_convert_type(jnp.asarray(t, jnp.float32), jnp.int32)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, bits))(noise_keys)
+        z = jax.vmap(lambda k: jax.random.normal(k, (d,)))(keys)
+        return z * jnp.sqrt(jnp.abs(dt))
+
+    def masked_step(t, x, alive, dt):
+        x_new = stepper(drift, t, x, dt)
+        g = diffusion(t, x)
+        w = dW(t, dt)
+        if g.ndim == x.ndim + 1:  # matrix diffusion: (..., d, d) @ (B, d)
+            kick = jnp.einsum("...ij,...j->...i", g, jnp.broadcast_to(w, g.shape[:-1]))
+        else:
+            kick = g * w
+        x_new = x_new + kick
+        ok = _finite(x_new)
+        if cond_alive is not None:
+            ok = ok & cond_alive(t + dt, x_new)
+        alive = alive & ok
+        x = jnp.where(alive[..., None], x_new, x)
+        return x, alive
+
+    def save_step(carry, t_pair):
+        x, alive = carry
+        t0, t1 = t_pair
+        dt = (t1 - t0) / substeps
+        x, alive = jax.lax.fori_loop(
+            0, substeps, lambda i, c: masked_step(t0 + i * dt, c[0], c[1], dt), (x, alive)
+        )
+        return (x, alive), (x, alive)
+
+    if remat:
+        save_step = jax.checkpoint(save_step)
+
+    alive0 = _finite(x0)
+    if cond_alive is not None:
+        alive0 = alive0 & cond_alive(ts[0], x0)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    (_, _), (xs, alives) = jax.lax.scan(save_step, (x0, alive0), t_pairs)
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    alives = jnp.concatenate([alive0[None], alives], axis=0)
+    return xs, alives
+
+
 def linear_interp(ts: Array, values: Array, t: Array) -> Array:
     """Piecewise-linear interpolation of ``values`` (T, ...) sampled at ``ts``.
 

@@ -38,6 +38,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+import numpy as np
 from jax import Array
 
 from ..core.registry import FunctionSet
@@ -48,10 +49,11 @@ from .splice import compose1, compose2, extract_subtree, leaf_block, splice
 MUT_RETRIES = 8
 
 # probability tables from the reference's get_mutations (mutation.py:534-537)
-_PROBS_DEFAULT = jnp.ones(7, jnp.float32)
-_PROBS_FULL = jnp.asarray([0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0], jnp.float32)
-_PROBS_SMALL = jnp.asarray([1.0, 1.0, 1.0, 0.0, 1.0, 0.0, 1.0], jnp.float32)
-_PROBS_LEAF = jnp.asarray([1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 1.0], jnp.float32)
+# (plain numpy so importing the package does not initialise a JAX backend)
+_PROBS_DEFAULT = np.ones(7, np.float32)
+_PROBS_FULL = np.asarray([0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0], np.float32)
+_PROBS_SMALL = np.asarray([1.0, 1.0, 1.0, 0.0, 1.0, 0.0, 1.0], np.float32)
+_PROBS_LEAF = np.asarray([1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 1.0], np.float32)
 
 
 def _where_tree(cond: Array, a: TreeTensors, b: TreeTensors) -> TreeTensors:

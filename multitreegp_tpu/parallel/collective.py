@@ -1,0 +1,175 @@
+"""Explicit-collective generation step for pod-scale runs.
+
+The default evolve path (``ops.reproduction.make_evolve_populations``) runs
+under plain jit with GSPMD-propagated shardings — the island-axis ``jnp.roll``
+of ring migration becomes whatever collective XLA infers (exactly the
+reference's situation, SURVEY.md §5.8). For pods this module expresses the
+same step as an SPMD program with the communication written out:
+
+* the island axis is sharded over the 1-D mesh (``k = islands / devices``
+  local islands per device);
+* each device evolves its local islands completely independently;
+* ring migration sends ONE island's migrant block per device boundary via
+  ``jax.lax.ppermute`` over ICI — the only inter-device traffic of a
+  generation, ``migration_size * num_trees * max_nodes`` nodes per period;
+* the global best (for logging) is a sharded argmin: ``psum``-style
+  min-reduction over the mesh axis.
+
+Semantics are identical to ``migrate_ring`` + vmapped ``evolve_island``
+(tested for equality on a faked 8-device CPU platform).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import Array
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core.trees import TreeTensors
+
+
+def _sorted_blocks(populations: TreeTensors, fitness: Array, migration_size: int):
+    """Per-island (send_block, worst_order) for migration.
+
+    send: each island's best ``migration_size`` candidates (the migrants).
+    """
+    send_order = jnp.argsort(fitness, axis=1)[:, :migration_size]
+    take = lambda x, order: jax.vmap(lambda xi, oi: xi[oi])(x, order)
+    send_pop = jax.tree_util.tree_map(lambda x: take(x, send_order), populations)
+    send_fit = take(fitness, send_order)
+    return send_pop, send_fit
+
+
+def _ring_shift_islands(block, axis_name: str):
+    """Shift island-major blocks by +1 along the GLOBAL island ring.
+
+    ``block`` leaves have shape (local_islands, ...). The last local island's
+    entry crosses the device boundary via ppermute; the rest shift locally.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def shift(x):
+        boundary = x[-1:]  # goes to the next device
+        received = jax.lax.ppermute(boundary, axis_name, perm)
+        return jnp.concatenate([received, x[:-1]], axis=0)
+
+    return jax.tree_util.tree_map(shift, block)
+
+
+def make_evolve_populations_collective(
+    evolve_island: Callable,
+    mesh: Mesh,
+    migration_period: int,
+    migration_size: int,
+    reproduction_type_probabilities: Array,  # (islands, 3)
+    reproduction_probabilities: Array,  # (islands,)
+    tournament_probabilities: Array,  # (islands, tournament_size)
+    axis_name: str = "i",
+):
+    """Build the sharded generation step.
+
+    Returns ``step(populations, fitness, key, generation) -> populations`` with
+    the island axis sharded over ``mesh``; drop-in replacement for
+    ``make_evolve_populations``'s output when ``num_islands % num_devices == 0``.
+    """
+    n_dev = mesh.devices.size
+
+    def local_step(populations, fitness, keys, hp_type, hp_repro, hp_tour, generation):
+        # populations: (local_islands, pop, trees, nodes); keys: (local, 2)
+        local = fitness.shape[0]
+        do_migrate = (local * n_dev > 1) & (((generation + 1) % migration_period) == 0)
+
+        send_pop, send_fit = _sorted_blocks(populations, fitness, migration_size)
+        send_pop = _ring_shift_islands(send_pop, axis_name)
+        send_fit = _ring_shift_islands(send_fit, axis_name)
+
+        # replace each island's worst migration_size candidates
+        worst = jnp.argsort(fitness, axis=1, descending=True)[:, :migration_size]
+        scatter = lambda x, idx, blk: jax.vmap(lambda xi, ii, bi: xi.at[ii].set(bi))(
+            x, idx, blk
+        )
+        migrated_pop = jax.tree_util.tree_map(
+            lambda x, blk: scatter(x, worst, blk), populations, send_pop
+        )
+        migrated_fit = scatter(fitness, worst, send_fit)
+
+        populations = jax.tree_util.tree_map(
+            lambda m, p: jnp.where(do_migrate, m, p), migrated_pop, populations
+        )
+        fitness = jnp.where(do_migrate, migrated_fit, fitness)
+
+        return jax.vmap(evolve_island)(
+            populations, fitness, keys, hp_type, hp_repro, hp_tour
+        )
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name), P(),
+        ),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    def step(populations: TreeTensors, fitness: Array, key: Array, generation: Array):
+        num_islands = fitness.shape[0]
+        assert num_islands % n_dev == 0, (
+            f"islands ({num_islands}) must divide over {n_dev} devices"
+        )
+        keys = jr.split(key, num_islands)
+        return sharded(
+            populations,
+            fitness,
+            keys,
+            reproduction_type_probabilities,
+            reproduction_probabilities,
+            tournament_probabilities,
+            generation,
+        )
+
+    return step
+
+
+def global_best(fitness: Array, populations: TreeTensors, mesh: Mesh, axis_name: str = "i"):
+    """Sharded global argmin: (best_fitness, best_candidate) without
+    gathering the population to one device."""
+
+    def local(fitness, populations):
+        flat_fit = fitness.reshape(-1)
+        idx = jnp.argmin(flat_fit)
+        flat_pop = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), populations
+        )
+        cand = jax.tree_util.tree_map(lambda x: x[idx], flat_pop)
+        best_local = flat_fit[idx]
+        all_best = jax.lax.all_gather(best_local, axis_name)  # (n_dev,)
+        winner = jnp.argmin(all_best)
+        me = jax.lax.axis_index(axis_name)
+        # broadcast the winner's candidate: zero-out losers, sum over the ring
+        cand = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(
+                jnp.where(winner == me, x, jnp.zeros_like(x)), axis_name
+            ),
+            cand,
+        )
+        return all_best[winner], cand
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(fitness, populations)

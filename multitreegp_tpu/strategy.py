@@ -90,13 +90,6 @@ class GeneticProgramming:
         )
         assert max_init_depth > 0 and max_nodes > 0
         assert migration_period > 1, "migration_period must be > 1"
-        assert (
-            abs(
-                migration_percentage * population_size
-                - round(migration_percentage * population_size)
-            )
-            < 1e-6
-        ), "migration size must be an integer"
         assert tournament_size > 1, "tournament_size must be > 1"
 
         self.num_generations = num_generations
@@ -108,9 +101,13 @@ class GeneticProgramming:
         self.size_parsimony = float(size_parsimony)
         self.coefficient_sd = coefficient_sd
         self.migration_period = migration_period
-        self.migration_size = int(round(migration_percentage * population_size))
-        self.elite_size = int(elite_percentage * population_size)
-        assert self.elite_size % 2 == 0, "elite size must be even"
+        # fractional sizes are rounded (friendlier than the reference's
+        # integrality asserts, genetic_programming.py:87-126); the elite count
+        # rounds down to even so the non-elite remainder stays pair-producible
+        self.migration_size = max(0, min(
+            int(round(migration_percentage * population_size)), population_size
+        ))
+        self.elite_size = (int(elite_percentage * population_size) // 2) * 2
         self.coefficient_optimisation = coefficient_optimisation
         self.gradient_steps = gradient_steps
         self.coefficient_opt_top_k = min(
@@ -149,6 +146,7 @@ class GeneticProgramming:
             self.elite_size,
             tournament_size,
         )
+        self._evolve_island = evolve_island
         (
             self.tournament_probabilities,
             self.reproduction_type_probabilities,
@@ -320,8 +318,24 @@ class GeneticProgramming:
         g = num_generations or self.num_generations
         init_key, run_key = jr.split(key)
         populations = self.initialize_population(init_key)
+
+        evolve = self._evolve_populations
         if shard:
             populations = shard_population(populations, None, self.mesh)
+            n_dev = self.mesh.devices.size
+            if n_dev > 1 and self.num_populations % n_dev == 0:
+                # explicit SPMD step: migration rides ICI as a ppermute
+                from .parallel.collective import make_evolve_populations_collective
+
+                evolve = make_evolve_populations_collective(
+                    self._evolve_island,
+                    self.mesh,
+                    self.migration_period,
+                    self.migration_size,
+                    self.reproduction_type_probabilities,
+                    self.reproduction_probabilities,
+                    self.tournament_probabilities,
+                )
 
         use_const_opt = self.coefficient_optimisation
 
@@ -344,7 +358,7 @@ class GeneticProgramming:
                 lambda x: x.reshape((-1,) + x.shape[2:]), populations
             )
             best_solution = jax.tree_util.tree_map(lambda x: x[best], flat_pop)
-            new_pop = self._evolve_populations(populations, fitness, evolve_key, gen)
+            new_pop = evolve(populations, fitness, evolve_key, gen)
             if shard:
                 new_pop = shard_population(new_pop, None, self.mesh)
             return (new_pop, key), (flat_fit[best], best_solution, fitness)
