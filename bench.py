@@ -29,6 +29,8 @@ def main(
     substeps: int = 1,
     max_nodes: int = 32,
     repeats: int = 5,
+    max_init_depth: int = 4,
+    interpreter: str = "auto",
 ):
     from multitreegp_tpu.core.registry import build_function_set
     from multitreegp_tpu.models.environments import VanDerPolOscillator
@@ -47,9 +49,9 @@ def main(
     ts = jnp.arange(0.0, horizon, dt)
     data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=batch_size, substeps=8)
 
-    sampler = make_population_sampler(fset, max_init_depth=4, max_nodes=max_nodes)
+    sampler = make_population_sampler(fset, max_init_depth=max_init_depth, max_nodes=max_nodes)
     pop = sampler(jr.PRNGKey(1), population_size)
-    evaluator = SREvaluator(fset, substeps=substeps)
+    evaluator = SREvaluator(fset, substeps=substeps, interpreter=interpreter)
 
     eval_fn = jax.jit(lambda p: evaluator.evaluate_population(p, data))
     fitness = jax.block_until_ready(eval_fn(pop))  # compile + warm up
@@ -85,5 +87,17 @@ def main(
     return rate
 
 
+CONFIGS = {
+    # BASELINE.json workloads. Default = the pop-4096 ODE north-star.
+    "default": {},
+    "deep": {"max_nodes": 128, "max_init_depth": 7},  # deep trees (depth-12 class)
+    "pod": {"population_size": 65536},  # pod-scale population, single chip here
+    "ladder": {"interpreter": "ladder"},
+    "pallas": {"interpreter": "pallas"},
+}
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
+    main(**CONFIGS[cfg])

@@ -145,11 +145,20 @@ def evaluate_trees(
     ``vmap_foriloop`` (``genetic_programming.py:390-401``), all lanes at once.
     """
     if impl == "auto":
-        # The unrolled ladder is the TPU fast path; its O(N^2) HLO compiles
-        # quickly on TPU but multiplies CPU XLA compile times, so CPU (tests,
-        # faked multi-device meshes) defaults to the compact gather path.
+        # TPU: the Pallas kernel wins at every scale measured (3.3x over the
+        # ladder inside rollout scans; gather's minor-axis dynamic slices are
+        # pathological on TPU — never auto-selected there). CPU (tests, faked
+        # multi-device meshes) uses the compact gather path for compile time.
         on_tpu = jax.default_backend() == "tpu"
-        impl = "ladder" if (on_tpu and trees.max_nodes <= LADDER_MAX_NODES) else "gather"
+        if on_tpu:
+            from .pallas_interpreter import pallas_available
+
+            if pallas_available():
+                impl = "pallas"
+            else:  # pragma: no cover
+                impl = "ladder" if trees.max_nodes <= LADDER_MAX_NODES else "gather"
+        else:
+            impl = "gather"
     if impl == "ladder":
         return evaluate_trees_ladder(trees, data, fset)
     if impl == "pallas":

@@ -29,7 +29,7 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate, integrate_sde
+from ..integrators import integrate, integrate_adaptive, integrate_sde
 
 
 class SREvaluator:
@@ -50,6 +50,8 @@ class SREvaluator:
         remat: bool = False,
         interpreter: str = "auto",
         process_noise: float = 0.0,
+        rtol: float = 1e-4,
+        atol: float = 1e-6,
     ) -> None:
         self.fset = fset
         self.max_fitness = max_fitness
@@ -58,6 +60,8 @@ class SREvaluator:
         self.remat = remat
         self.interpreter = interpreter
         self.process_noise = process_noise
+        self.rtol = rtol
+        self.atol = atol
 
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
@@ -87,6 +91,14 @@ class SREvaluator:
             return integrate_sde(
                 drift, lambda t, x: jnp.full_like(x, self.process_noise), x0, ts,
                 keys, method="euler", substeps=self.substeps, remat=self.remat,
+            )
+        if self.method == "adaptive":
+            # PI-controlled embedded RK, per-lane step control — the parity
+            # path for the notebooks' Dopri5+PIDController configuration
+            return integrate_adaptive(
+                drift, x0, ts, rtol=self.rtol, atol=self.atol,
+                max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
+                remat=self.remat,
             )
         return integrate(drift, x0, ts, method=self.method, substeps=self.substeps, remat=self.remat)
 

@@ -122,6 +122,102 @@ def integrate(
     return xs, alives
 
 
+# Bogacki-Shampine 3(2) embedded pair — the adaptive method. Chosen over
+# Dopri5 for TPU: 3 stages/step with an embedded 2nd-order error estimate
+# gives PID step control at half Dopri5's cost; the notebooks' Dopri5+PID is
+# an accuracy choice, not a semantic one (SURVEY.md §7 design delta 3).
+_BS_A = ((0.5,), (0.0, 0.75), (2 / 9, 1 / 3, 4 / 9))
+_BS_B_LOW = (7 / 24, 0.25, 1 / 3, 0.125)
+
+
+def integrate_adaptive(
+    drift: Callable[[Array, Array], Array],
+    x0: Array,
+    ts: Array,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    max_steps_per_interval: int = 32,
+    cond_alive: Optional[Callable[[Array, Array], Array]] = None,
+    safety: float = 0.9,
+    remat: bool = False,
+) -> Tuple[Array, Array]:
+    """PI-controlled adaptive integration on a fixed save grid.
+
+    The notebooks use ``diffrax.Dopri5 + PIDController`` (e.g.
+    ``SymbolicRegression.ipynb``); this is the batched TPU equivalent: every
+    lane carries its own ``(t, dt)`` and steps Bogacki-Shampine 3(2) inside a
+    bounded ``fori_loop`` per save interval — lanes accept/reject and resize
+    steps independently via masks, in lockstep control flow. Lanes that
+    exhaust ``max_steps_per_interval`` before reaching the save point are
+    declared dead (the reference's ``max_steps`` + ``throw=False`` behaviour).
+
+    Returns ``(xs (T, ..., d), alive (T, ...))`` like :func:`integrate`.
+    """
+
+    def rk_step(t, x, dt):
+        dte = dt[..., None]
+        k1 = drift(t, x)
+        k2 = drift(t + 0.5 * dt, x + 0.5 * dte * k1)
+        k3 = drift(t + 0.75 * dt, x + 0.75 * dte * k2)
+        x_hi = x + dte * (_BS_A[2][0] * k1 + _BS_A[2][1] * k2 + _BS_A[2][2] * k3)
+        k4 = drift(t + dt, x_hi)
+        x_lo = x + dte * (
+            _BS_B_LOW[0] * k1 + _BS_B_LOW[1] * k2 + _BS_B_LOW[2] * k3 + _BS_B_LOW[3] * k4
+        )
+        err = x_hi - x_lo
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_hi))
+        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale), axis=-1))
+        return x_hi, err_norm
+
+    def interval(carry, t_pair):
+        x, alive = carry
+        t0, t1 = t_pair
+        span = t1 - t0
+        t = jnp.broadcast_to(t0, alive.shape)
+        dt = jnp.broadcast_to(span / 4.0, alive.shape)
+
+        def body(_, state):
+            t, dt, x, alive = state
+            active = alive & (t < t1 - 1e-12)
+            dt_c = jnp.minimum(dt, t1 - t)
+            x_new, err = rk_step(t, x, dt_c)
+            ok = _finite(x_new) & jnp.isfinite(err)
+            accept = active & ok & (err <= 1.0)
+            if cond_alive is not None:
+                accept = accept & cond_alive(t + dt_c, x_new)
+            x = jnp.where(accept[..., None], x_new, x)
+            t = jnp.where(accept, t + dt_c, t)
+            # PI controller: grow/shrink by err^(-1/order), clamped 0.2..5x
+            factor = jnp.where(
+                jnp.isfinite(err) & (err > 0.0),
+                jnp.clip(safety * err ** (-1.0 / 3.0), 0.2, 5.0),
+                jnp.where(ok, 5.0, 0.2),
+            )
+            dt = jnp.where(active, jnp.clip(dt_c * factor, span * 1e-3, span), dt)
+            # a lane that produced NaN at minimum dt is dead
+            alive = alive & (ok | ~active | (dt_c > span * 1.5e-3))
+            return t, dt, x, alive
+
+        t, dt, x, alive = jax.lax.fori_loop(
+            0, max_steps_per_interval, body, (t, dt, x, alive)
+        )
+        # lanes that never reached t1 ran out of steps -> dead (max_steps)
+        alive = alive & (t >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0))
+        return (x, alive), (x, alive)
+
+    if remat:
+        interval = jax.checkpoint(interval)
+
+    alive0 = _finite(x0)
+    if cond_alive is not None:
+        alive0 = alive0 & cond_alive(ts[0], x0)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    (_, _), (xs, alives) = jax.lax.scan(interval, (x0, alive0), t_pairs)
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    alives = jnp.concatenate([alive0[None], alives], axis=0)
+    return xs, alives
+
+
 def integrate_sde(
     drift: Callable[[Array, Array], Array],
     diffusion: Callable[[Array, Array], Array],
