@@ -45,6 +45,52 @@ SUBLANES = 32
 LANE = 128
 TILE = SUBLANES * LANE
 
+# Up to this many rows the kernel body is statically unrolled: rows become
+# straight-line SSA values Mosaic keeps in VMEM/registers (no scratch
+# round-trips, no loop-trip overhead on the triangular gather ladder).
+# Beyond it, compile time would blow up quadratically -> dynamic fori_loop.
+UNROLL_MAX_NODES = 64
+
+
+def _dispatch_tile(fset: FunctionSet, op, x, y, leaf, const, zero, one):
+    """Branch-free opcode dispatch on one (S, 128) register tile."""
+    val = zero
+    for k, fn in enumerate(fset.operator_fns):
+        sel = op == (OP_START + k)
+        xs = jnp.where(sel, x, one)
+        ys = jnp.where(sel, y, one)
+        val = jnp.where(sel, fn(xs, ys), val)
+    val = jnp.where(op == CONST, const, val)
+    val = jnp.where(op >= fset.var_start, leaf, val)
+    return val
+
+
+def _make_kernel_unrolled(fset: FunctionSet, n: int, v: int):
+    """Straight-line kernel: every row is an SSA value; the triangular
+    second-operand ladder is pure register selects."""
+    var_start = fset.var_start
+
+    def kernel(ops_ref, c2_ref, const_ref, data_ref, out_ref):
+        zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
+        one = jnp.ones((SUBLANES, LANE), jnp.float32)
+        data_tiles = [data_ref[var, 0] for var in range(v)]
+
+        vals = []
+        for i in range(n):
+            op = ops_ref[i, 0]
+            c2 = c2_ref[i, 0]
+            x = vals[i - 1] if i else zero
+            y = zero
+            for j in range(i - 1):
+                y = jnp.where(c2 == j, vals[j], y)
+            leaf = zero
+            for var in range(v):
+                leaf = jnp.where(op == var_start + var, data_tiles[var], leaf)
+            vals.append(_dispatch_tile(fset, op, x, y, leaf, const_ref[i, 0], zero, one))
+        out_ref[0] = vals[-1]
+
+    return kernel
+
 
 def _make_kernel(fset: FunctionSet, n: int, v: int):
     var_start = fset.var_start
@@ -213,7 +259,8 @@ def _run(ops, c2, const, data, fset: FunctionSet):
     n, l = ops.shape
     v = data.shape[0]
     g = l // TILE
-    kernel = _make_kernel(fset, n, v)
+    unrolled = n <= UNROLL_MAX_NODES
+    kernel = (_make_kernel_unrolled if unrolled else _make_kernel)(fset, n, v)
 
     def reshape(x):
         return x.reshape(x.shape[0], g, SUBLANES, LANE)
@@ -227,9 +274,23 @@ def _run(ops, c2, const, data, fset: FunctionSet):
         in_specs=[spec3(n), spec3(n), spec3(n), spec3(v)],
         out_specs=pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, SUBLANES, LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n, SUBLANES, LANE), jnp.float32)],
+        scratch_shapes=[] if unrolled else [pltpu.VMEM((n, SUBLANES, LANE), jnp.float32)],
     )(reshape(ops), reshape(c2), reshape(const), reshape(data))
     return out.reshape(l)
+
+
+def _prep(x: Array, batch, l: int, pad: int) -> Array:
+    """(batch_x..., rows) -> padded (rows, L) lane-major layout.
+
+    Transposes the UNBROADCAST tensor first (rows to the front while the
+    array is small), then broadcasts to the joint batch — so e.g. the tree
+    streams of a ``(P, 1, m)``-batched population never materialise a
+    pre-transpose ``(P, B, m, N)`` copy, and the whole tree prep is a
+    loop-invariant XLA can hoist out of rollout scans."""
+    rows = x.shape[-1]
+    xt = jnp.moveaxis(x, -1, 0)  # (rows, batch_x...) — small transpose
+    xt = jnp.broadcast_to(xt, (rows,) + batch).reshape(rows, l)
+    return jnp.pad(xt, ((0, 0), (0, pad))) if pad else xt
 
 
 def _forward(trees: TreeTensors, data: Array, fset: FunctionSet) -> Array:
@@ -237,26 +298,17 @@ def _forward(trees: TreeTensors, data: Array, fset: FunctionSet) -> Array:
     batch to lanes, pad to the tile size, and run the kernel."""
     n = trees.max_nodes
     batch = jnp.broadcast_shapes(trees.batch_shape, data.shape[:-1])
-    ops = jnp.broadcast_to(trees.ops, batch + (n,))
-    c2 = jnp.broadcast_to(trees.c2, batch + (n,))
-    const = jnp.broadcast_to(trees.const, batch + (n,))
-    data_b = jnp.broadcast_to(data, batch + data.shape[-1:])
-    v = data_b.shape[-1]
 
     l = 1
     for s in batch:
         l *= s
     pad = (-l) % TILE
 
-    def prep(x, rows):
-        flat = x.reshape(l, rows).T  # (rows, L)
-        return jnp.pad(flat, ((0, 0), (0, pad)))
-
     out = _run(
-        prep(ops, n),
-        prep(c2, n),
-        prep(const.astype(jnp.float32), n),
-        prep(data_b.astype(jnp.float32), v),
+        _prep(trees.ops, batch, l, pad),
+        _prep(trees.c2, batch, l, pad),
+        _prep(trees.const.astype(jnp.float32), batch, l, pad),
+        _prep(data.astype(jnp.float32), batch, l, pad),
         fset,
     )
     return out[:l].reshape(batch)
@@ -278,27 +330,19 @@ def _backward(trees: TreeTensors, data: Array, g: Array, fset: FunctionSet):
     (dconst like trees.const, ddata like data)."""
     n = trees.max_nodes
     batch = jnp.broadcast_shapes(trees.batch_shape, data.shape[:-1])
-    ops = jnp.broadcast_to(trees.ops, batch + (n,))
-    c2 = jnp.broadcast_to(trees.c2, batch + (n,))
-    const = jnp.broadcast_to(trees.const, batch + (n,))
-    data_b = jnp.broadcast_to(data, batch + data.shape[-1:])
-    v = data_b.shape[-1]
+    v = data.shape[-1]
 
     l = 1
     for s in batch:
         l *= s
     pad = (-l) % TILE
 
-    def prep(x, rows):
-        flat = x.reshape(l, rows).T
-        return jnp.pad(flat, ((0, 0), (0, pad)))
-
-    g_flat = jnp.pad(g.reshape(l), (0, pad))
+    g_flat = jnp.pad(jnp.broadcast_to(g, batch).reshape(l), (0, pad))
     dconst, ddata = _run_bwd(
-        prep(ops, n),
-        prep(c2, n),
-        prep(const.astype(jnp.float32), n),
-        prep(data_b.astype(jnp.float32), v),
+        _prep(trees.ops, batch, l, pad),
+        _prep(trees.c2, batch, l, pad),
+        _prep(trees.const.astype(jnp.float32), batch, l, pad),
+        _prep(data.astype(jnp.float32), batch, l, pad),
         g_flat.astype(jnp.float32),
         fset,
     )

@@ -1,0 +1,282 @@
+"""Fused whole-rollout Pallas kernel for symbolic-regression fitness.
+
+The north-star design (SURVEY.md §7, BASELINE.json): the reference pays a
+full dispatch round-trip per drift evaluation — per solver step, per RK
+stage, per candidate (``diffrax.diffeqsolve`` under nested vmaps,
+``SR_evaluator.py:76-79``). The unfused TPU path already batches every lane
+into one kernel per drift call, but still streams the tree tensors from HBM
+and relaunches ~200 times per evaluation. This kernel goes the rest of the
+way: ONE launch per population evaluation —
+
+* grid over ``(P x B)`` lane tiles; each tile DMAs its candidates' opcode /
+  child / constant streams into VMEM ONCE and keeps them resident for the
+  whole trajectory;
+* the time loop (``T`` save steps x ``substeps`` x RK stages) runs inside
+  the kernel: every RK stage evaluates all ``m`` trees of the candidate on
+  the current state held in registers/VMEM — zero HBM traffic between
+  stages, steps, or save points (only the saved states stream out);
+* per-lane divergence containment: an ``alive`` tile freezes lanes whose
+  state leaves the finite range, exactly like :mod:`models.integrators`.
+
+Restrictions (by design, for the hot path): autonomous drifts only (the
+candidate IS the drift — SR semantics; no explicit t dependence), trees per
+candidate ``m == state dimension d``, uniform save grid. Everything else
+uses the general unfused path.
+"""
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .registry import FunctionSet
+from .trees import CONST, OP_START, TreeTensors
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from .pallas_interpreter import LANE, SUBLANES, TILE, UNROLL_MAX_NODES
+
+# |x| beyond this is divergence even while finite (matches integrators.py).
+DIVERGENCE_BOUND = 1e8
+
+_RK_TABLES = {
+    # method -> ([(stage_coeff, accum_weight)...], final_scale); matches the
+    # exact accumulation order of integrators._STEPPERS so fp rounding agrees
+    "euler": ([(0.0, 1.0)], 1.0),
+    "heun": ([(0.0, 1.0), (1.0, 1.0)], 0.5),
+    "rk4": ([(0.0, 1.0), (0.5, 2.0), (0.5, 2.0), (1.0, 1.0)], 1 / 6),
+}
+
+
+def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
+                         substeps: int, dt: float, method: str):
+    var_start = fset.var_start
+    stages, final_scale = _RK_TABLES[method]
+
+    def eval_tree(ops_tile, c2_tile, const_tile, x_tiles):
+        """Unrolled stack interpreter on one tree's (N,.) streams; x_tiles is
+        the list of per-variable (S, 128) register tiles."""
+        zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
+        one = jnp.ones((SUBLANES, LANE), jnp.float32)
+        vals = []
+        for i in range(n):
+            op = ops_tile[i]
+            c2 = c2_tile[i]
+            x = vals[i - 1] if i else zero
+            y = zero
+            for j in range(i - 1):
+                y = jnp.where(c2 == j, vals[j], y)
+            leaf = zero
+            for var in range(min(len(x_tiles), fset.num_variables)):
+                leaf = jnp.where(op == var_start + var, x_tiles[var], leaf)
+            val = zero
+            for k, fn in enumerate(fset.operator_fns):
+                sel = op == (OP_START + k)
+                xs = jnp.where(sel, x, one)
+                ys = jnp.where(sel, y, one)
+                val = jnp.where(sel, fn(xs, ys), val)
+            val = jnp.where(op == CONST, const_tile[i], val)
+            val = jnp.where(op >= var_start, leaf, val)
+            vals.append(val)
+        return vals[-1]
+
+    def kernel(ops_ref, c2_ref, const_ref, x0_ref, xs_ref, alive_ref,
+               x_ref, live_ref):
+        # ops/c2/const: (m, n, 1, S, 128); x0: (d, 1, S, 128)
+        # xs: (t_steps, m, 1, S, 128); alive: (1, S, 128) f32 (1 = alive)
+        # scratch: x_ref (m, S, 128) f32, live_ref (S, 128) f32
+        ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+        def drift(x_tiles):
+            return [eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles) for mi in range(m)]
+
+        def ok_mask(x_tiles):
+            good = None
+            for xt in x_tiles:
+                g = jnp.isfinite(xt) & (jnp.abs(xt) < DIVERGENCE_BOUND)
+                good = g if good is None else (good & g)
+            return good.astype(jnp.float32)
+
+        x = [x0_ref[mi, 0] for mi in range(m)]
+        live_ref[...] = ok_mask(x)
+        for mi in range(m):
+            xs_ref[0, mi, 0] = x[mi]
+            x_ref[mi] = x[mi]
+
+        h = dt / substeps
+
+        def save_step(t, _):
+            x = [x_ref[mi] for mi in range(m)]
+            alive = live_ref[...]
+
+            for _s in range(substeps):
+                acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
+                k = None
+                for c, w in stages:
+                    x_stage = x if k is None else [
+                        x[mi] + (h * c) * k[mi] for mi in range(m)
+                    ]
+                    k = drift(x_stage)
+                    acc = [acc[mi] + w * k[mi] for mi in range(m)]
+                x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
+                alive = alive * ok_mask(x_new)
+                x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
+
+            for mi in range(m):
+                xs_ref[t + 1, mi, 0] = x[mi]
+                x_ref[mi] = x[mi]
+            live_ref[...] = alive
+            return 0
+
+        jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
+        alive_ref[0] = live_ref[...]
+
+    return kernel
+
+
+def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
+    return (
+        _HAS_PALLAS
+        and jax.default_backend() == "tpu"
+        and trees.max_nodes <= UNROLL_MAX_NODES
+        and trees.batch_shape[-1] == d  # m == state dim
+    )
+
+
+def rollout_sr_pallas(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    fset: FunctionSet,
+    substeps: int = 1,
+    method: str = "rk4",
+):
+    """Fused SR rollout: ``dx = trees(x)`` from ``x0 (P, B, d)`` over the
+    uniform grid ``ts (T,)``. trees batched ``(P, m)`` with ``m == d``.
+
+    Returns ``(xs (T, P, B, d), alive (T, P, B))`` matching
+    ``integrators.integrate`` semantics (alive is constant-extended: the
+    kernel reports final liveness; intermediate rows replicate it backwards
+    only where used — the SR evaluator consumes ``alive[-1]`` only).
+
+    Differentiable: the forward is the fused kernel; the VJP (constant
+    optimisation) recomputes through the unfused scan rollout, whose
+    interpreter calls carry their own Pallas forward/backward kernels.
+    """
+    import numpy as np
+
+    @jax.custom_vjp
+    def run(ops, c1, c2, const, x0):
+        return _rollout_impl(
+            TreeTensors(ops, c1, c2, const), x0, ts, fset, substeps, method
+        )
+
+    def fwd(ops, c1, c2, const, x0):
+        return run(ops, c1, c2, const, x0), (ops, c1, c2, const, x0)
+
+    def bwd(res, g):
+        ops, c1, c2, const, x0 = res
+        g_xs, _g_alive = g
+
+        def unfused(c, x0_):
+            from ..models.integrators import integrate
+            from .interpreter import evaluate_trees
+
+            t = TreeTensors(ops, c1, c2, c)[:, None]
+
+            def drift(tt, x):
+                return evaluate_trees(t, x[:, :, None, :], fset, impl="pallas")
+
+            xs, _ = integrate(drift, x0_, ts, method=method, substeps=substeps)
+            return xs
+
+        _, vjp = jax.vjp(unfused, const, x0)
+        dconst, dx0 = vjp(g_xs)
+        zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return zero(ops), zero(c1), zero(c2), dconst, dx0
+
+    run.defvjp(fwd, bwd)
+    return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
+
+
+def _rollout_impl(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    fset: FunctionSet,
+    substeps: int = 1,
+    method: str = "rk4",
+):
+    p, b, d = x0.shape
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    t_steps = ts.shape[0]
+    ts_np = jax.device_get(ts) if not isinstance(ts, jax.core.Tracer) else None
+    dt = float(ts_np[1] - ts_np[0]) if ts_np is not None else None
+    if dt is None:
+        raise ValueError("rollout_sr_pallas requires a concrete uniform time grid")
+
+    lanes = p * b
+    pad = (-lanes) % TILE
+    lp = lanes + pad
+    grid = lp // TILE
+
+    # per-lane tree streams: (P, m, N) -> (m, N, P) -> (m, N, P, B) -> (m, N, L)
+    def prep_tree(x, dtype):
+        xt = jnp.moveaxis(x, 0, -1)  # (m, N, P)
+        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
+        return xt.astype(dtype).reshape(m, n, grid, SUBLANES, LANE)
+
+    ops_l = prep_tree(trees.ops, jnp.int32)
+    c2_l = prep_tree(trees.c2, jnp.int32)
+    const_l = prep_tree(trees.const, jnp.float32)
+
+    # x0: (P, B, d) -> (d, L)
+    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
+    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
+    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, SUBLANES, LANE)
+
+    kernel = _make_rollout_kernel(fset, n, m, t_steps, substeps, dt, method)
+
+    tree_spec = pl.BlockSpec(
+        (m, n, 1, SUBLANES, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    xs, alive = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            tree_spec, tree_spec, tree_spec,
+            pl.BlockSpec((d, 1, SUBLANES, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t_steps, m, 1, SUBLANES, LANE), lambda i: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_steps, m, grid, SUBLANES, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((grid, SUBLANES, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+        ],
+    )(ops_l, c2_l, const_l, x0_l)
+
+    xs = xs.reshape(t_steps, m, lp)[:, :, :lanes].reshape(t_steps, m, p, b)
+    xs = jnp.moveaxis(xs, 1, -1)  # (T, P, B, d)
+    alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    alive_t = jnp.broadcast_to(alive_last[None], (t_steps, p, b))
+    return xs, alive_t

@@ -100,6 +100,19 @@ class SREvaluator:
                 max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
                 remat=self.remat,
             )
+        if self.interpreter in ("auto", "pallas"):
+            # fused whole-rollout kernel: one launch per evaluation, tree
+            # streams resident in VMEM across every RK stage and time step
+            from ...core.pallas_rollout import rollout_available, rollout_sr_pallas
+
+            if rollout_available(self.fset, population, d):
+                try:
+                    return rollout_sr_pallas(
+                        population, jnp.broadcast_to(x0s[None], (p, b, d)), ts,
+                        self.fset, substeps=self.substeps, method=self.method,
+                    )
+                except ValueError:
+                    pass  # traced/non-uniform ts -> general path below
         return integrate(drift, x0, ts, method=self.method, substeps=self.substeps, remat=self.remat)
 
     def evaluate_candidate(self, candidate: TreeTensors, data: Tuple):

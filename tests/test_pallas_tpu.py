@@ -1,0 +1,118 @@
+"""TPU-only tests: Pallas interpreter forward/backward kernels and the fused
+whole-rollout kernel. Skipped on CPU (the CI suite); exercised on hardware
+by the verify flow (.claude/skills/verify/SKILL.md) and by bench.py.
+
+NOTE: tests/conftest.py forces the CPU platform for the mesh tests, so these
+are expected to auto-skip under plain pytest. Run them on hardware with
+``JAX_PLATFORMS='' python -m pytest tests/test_pallas_tpu.py --no-header``
+after commenting the conftest override, or via the verify scripts.
+"""
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a TPU backend"
+)
+
+
+def _fset():
+    from multitreegp_tpu.core.registry import build_function_set
+
+    ops = [
+        ("+", jnp.add, 2, 0.5),
+        ("-", jnp.subtract, 2, 0.1),
+        ("*", jnp.multiply, 2, 0.5),
+        ("/", jnp.divide, 2, 0.1),
+        ("sin", jnp.sin, 1, 0.2),
+    ]
+    return build_function_set(ops, [["x0", "x1"]], [2])
+
+
+@requires_tpu
+def test_pallas_forward_matches_ladder():
+    from multitreegp_tpu.core.interpreter import evaluate_trees_ladder
+    from multitreegp_tpu.core.pallas_interpreter import evaluate_trees_pallas
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    pop = make_population_sampler(fset, 4, 32)(jr.PRNGKey(0), 128)
+    data = jnp.asarray(np.random.RandomState(1).randn(128, 3, 1, 2), jnp.float32)
+    a = np.asarray(jax.jit(lambda p, d: evaluate_trees_pallas(p[:, None], d, fset))(pop, data))
+    b = np.asarray(jax.jit(lambda p, d: evaluate_trees_ladder(p[:, None], d, fset))(pop, data))
+    m = np.isfinite(a) & np.isfinite(b)
+    assert (np.isfinite(a) == np.isfinite(b)).all()
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-5, atol=1e-6)
+
+
+@requires_tpu
+def test_pallas_backward_matches_ladder_vjp():
+    from multitreegp_tpu.core.interpreter import evaluate_trees_ladder
+    from multitreegp_tpu.core.pallas_interpreter import evaluate_trees_pallas
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(0), 16)
+    data = jnp.asarray(np.random.RandomState(1).randn(16, 1, 2), jnp.float32)
+
+    def loss(ref):
+        def f(const, d):
+            out = ref(pop._replace(const=const), d, fset)
+            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+        return jax.jit(jax.grad(f, argnums=(0, 1)))
+
+    g1c, g1d = loss(evaluate_trees_pallas)(pop.const, data)
+    g2c, g2d = loss(evaluate_trees_ladder)(pop.const, data)
+    for g1, g2 in ((g1c, g2c), (g1d, g2d)):
+        g1, g2 = np.asarray(g1), np.asarray(g2)
+        m = np.isfinite(g1) & np.isfinite(g2)
+        np.testing.assert_allclose(g1[m], g2[m], rtol=1e-4, atol=1e-5)
+
+
+@requires_tpu
+def test_fused_rollout_matches_unfused():
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    env = VanDerPolOscillator(0.0, 0.0)
+    pop = make_population_sampler(fset, 4, 32)(jr.PRNGKey(1), 256)
+    # short horizon: fp-ordering differences cannot amplify chaotically
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=8, substeps=8)
+
+    ev_f = SREvaluator(fset, substeps=1)  # auto -> fused rollout kernel
+    ev_r = SREvaluator(fset, substeps=1, interpreter="ladder")
+    a = np.asarray(jax.jit(lambda p: ev_f.evaluate_population(p, data))(pop))
+    b = np.asarray(jax.jit(lambda p: ev_r.evaluate_population(p, data))(pop))
+    both = (a < ev_f.max_fitness) & (b < ev_r.max_fitness)
+    rel = np.abs(a[both] - b[both]) / (np.abs(b[both]) + 1e-6)
+    assert (rel < 1e-3).mean() > 0.99
+    assert np.mean((a >= 1e5) == (b >= 1e5)) > 0.995
+
+
+@requires_tpu
+def test_constant_opt_through_fused_rollout():
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.constant_opt import make_constant_optimiser
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    env = VanDerPolOscillator(0.0, 0.0)
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(0), 16)
+    ts = jnp.arange(0.0, 2.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    ev = SREvaluator(fset, substeps=1)
+    opt = make_constant_optimiser(
+        lambda p, d: ev.evaluate_population(p, d), gradient_steps=5
+    )
+    base = np.asarray(jax.jit(lambda p: ev.evaluate_population(p, data))(pop))
+    fit, _ = jax.jit(lambda c: opt(c, data))(pop)
+    fit = np.asarray(fit)
+    # monotone within fp tolerance (cross-compilation noise on chaotic lanes)
+    assert (fit <= base * (1 + 1e-3) + 1e-4).all()
