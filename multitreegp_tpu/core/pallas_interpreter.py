@@ -289,6 +289,11 @@ def _prep(x: Array, batch, l: int, pad: int) -> Array:
     loop-invariant XLA can hoist out of rollout scans."""
     rows = x.shape[-1]
     xt = jnp.moveaxis(x, -1, 0)  # (rows, batch_x...) — small transpose
+    # rank-align the source batch against the joint batch (numpy broadcasting
+    # is trailing-aligned; the joint batch can have extra LEADING dims, e.g.
+    # the time axis of a policy replay)
+    xb = xt.shape[1:]
+    xt = xt.reshape((rows,) + (1,) * (len(batch) - len(xb)) + xb)
     xt = jnp.broadcast_to(xt, (rows,) + batch).reshape(rows, l)
     return jnp.pad(xt, ((0, 0), (0, pad))) if pad else xt
 

@@ -182,10 +182,13 @@ class GeneticProgramming:
         self.best_fitnesses = jnp.full((num_generations,), jnp.inf)
         self.best_solutions = None  # lazily shaped on first evaluation
 
-        # jitted hot paths
-        self._jit_eval = jax.jit(self._evaluate_core)
+        # jitted hot paths. Evaluation closes over `data` (cached per data
+        # object) so concrete shapes/grids reach the evaluator — that is what
+        # lets the fused whole-rollout Pallas kernel engage; tracing data as
+        # an argument would hide the time grid behind a tracer.
+        self._eval_cache: dict = {}
+        self._optimise_cache: dict = {}
         self._jit_evolve = jax.jit(self._evolve_populations)
-        self._jit_optimise = jax.jit(self._optimise_core)
 
         # the reference-style per-candidate tree evaluator handed to users
         self.tree_evaluator = make_candidate_evaluator(self.fset)
@@ -241,20 +244,34 @@ class GeneticProgramming:
         )
         return pop, flat_fit.reshape(self.num_populations, self.population_size)
 
+    def _eval_fn(self, data):
+        key = id(data)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = jax.jit(lambda p: self._evaluate_core(p, data))
+        return self._eval_cache[key]
+
+    def _optimise_fn(self, data):
+        key = id(data)
+        if key not in self._optimise_cache:
+            self._optimise_cache[key] = jax.jit(
+                lambda p, f: self._optimise_core(p, f, data)
+            )
+        return self._optimise_cache[key]
+
     def evaluate_population(
         self, populations: TreeTensors, data
     ) -> Tuple[Array, TreeTensors]:
         """Host-loop parity API (reference :403-433): returns
         (fitness (islands, pop), possibly constant-optimised populations) and
         records the generation's best."""
-        fitness = self._jit_eval(populations, data)
+        fitness = self._eval_fn(data)(populations)
 
         if (
             self.coefficient_optimisation
             and self.current_generation > 10
             and (self.current_generation + 1) % 5 == 0
         ):
-            populations, opt_fitness = self._jit_optimise(populations, fitness, data)
+            populations, opt_fitness = self._optimise_fn(data)(populations, fitness)
             # re-apply parsimony on optimised entries is unnecessary: constant
             # optimisation does not change tree sizes
             fitness = opt_fitness

@@ -73,6 +73,25 @@ def test_pallas_backward_matches_ladder_vjp():
 
 
 @requires_tpu
+def test_pallas_replay_shaped_broadcast():
+    """Trees batch rank < joint batch rank (a policy replay adds a leading
+    time axis) — regression for the _prep rank-alignment bug."""
+    from multitreegp_tpu.core.interpreter import evaluate_trees_ladder
+    from multitreegp_tpu.core.pallas_interpreter import evaluate_trees_pallas
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(0), 8)
+    trees = pop[:, None]  # (8, 1, m)
+    data = jnp.asarray(np.random.RandomState(1).randn(5, 8, 4, 1, 2), jnp.float32)
+    a = np.asarray(jax.jit(lambda: evaluate_trees_pallas(trees, data, fset))())
+    b = np.asarray(jax.jit(lambda: evaluate_trees_ladder(trees, data, fset))())
+    m = np.isfinite(a) & np.isfinite(b)
+    assert a.shape == (5, 8, 4, 2)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-5, atol=1e-6)
+
+
+@requires_tpu
 def test_fused_rollout_matches_unfused():
     from multitreegp_tpu.models.environments import VanDerPolOscillator
     from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data

@@ -66,11 +66,11 @@ def test_sharded_eval_equals_unsharded():
         migration_percentage=0.125,
     )
     pop = strategy.initialize_population(jr.PRNGKey(3))
-    fit_plain = strategy._jit_eval(pop, data)
+    fit_plain = strategy._eval_fn(data)(pop)
     mesh = make_mesh()
     sh = island_sharding(mesh, 8)
     pop_sharded = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), pop)
-    fit_sharded = strategy._jit_eval(pop_sharded, data)
+    fit_sharded = strategy._eval_fn(data)(pop_sharded)
     np.testing.assert_allclose(
         np.asarray(fit_plain), np.asarray(fit_sharded), rtol=1e-6
     )
