@@ -88,13 +88,20 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
         return vals[-1]
 
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, xs_ref, alive_ref,
-               x_ref, live_ref):
+               x_ref, live_ref, stage_ref, sem):
         # ops/c2/const: (m, n, 1, S, 128); x0: (d, 1, S, 128)
-        # xs: (t_steps, m, 1, S, 128); alive: (1, S, 128) f32 (1 = alive)
-        # scratch: x_ref (m, S, 128) f32, live_ref (S, 128) f32
+        # xs lives in HBM (full (t_steps, m, grid, S, 128)): a VMEM-resident
+        # trajectory would blow the budget at long horizons; saved rows go
+        # out through a double-buffered staging tile + async DMA.
+        gi = pl.program_id(0)
         ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
         c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
         consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+        def copy_out(t_row, slot):
+            return pltpu.make_async_copy(
+                stage_ref.at[slot], xs_ref.at[t_row, :, gi], sem.at[slot]
+            )
 
         def drift(x_tiles):
             return [eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles) for mi in range(m)]
@@ -109,8 +116,9 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
         x = [x0_ref[mi, 0] for mi in range(m)]
         live_ref[...] = ok_mask(x)
         for mi in range(m):
-            xs_ref[0, mi, 0] = x[mi]
+            stage_ref[0, mi] = x[mi]
             x_ref[mi] = x[mi]
+        copy_out(0, 0).start()
 
         h = dt / substeps
 
@@ -131,13 +139,23 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                 alive = alive * ok_mask(x_new)
                 x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
 
+            slot = (t + 1) % 2
+
+            @pl.when(t >= 1)
+            def _():
+                copy_out(t - 1, slot).wait()
+
             for mi in range(m):
-                xs_ref[t + 1, mi, 0] = x[mi]
+                stage_ref[slot, mi] = x[mi]
                 x_ref[mi] = x[mi]
+            copy_out(t + 1, slot).start()
             live_ref[...] = alive
             return 0
 
         jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
+        copy_out(t_steps - 1, (t_steps - 1) % 2).wait()
+        if t_steps >= 2:
+            copy_out(t_steps - 2, (t_steps - 2) % 2).wait()
         alive_ref[0] = live_ref[...]
 
     return kernel
@@ -260,8 +278,7 @@ def _rollout_impl(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((t_steps, m, 1, SUBLANES, LANE), lambda i: (0, 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # trajectory stays in HBM
             pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -272,6 +289,8 @@ def _rollout_impl(
         scratch_shapes=[
             pltpu.VMEM((m, SUBLANES, LANE), jnp.float32),
             pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((2, m, SUBLANES, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(ops_l, c2_l, const_l, x0_l)
 

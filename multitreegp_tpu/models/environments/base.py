@@ -131,6 +131,19 @@ class ControlEnvironmentBase(abc.ABC):
         already checks finiteness."""
         return jnp.asarray(True)
 
+    # ---- tile protocol (fused Pallas policy rollout) -----------------------
+    # ``drift``/``cond_alive`` written as elementwise ops over an indexed
+    # state vector trace unchanged on stacked ``(latent, sublane, lane)``
+    # register tiles; envs whose drift needs state-axis matmuls or explicit
+    # time dependence must leave ``tile_safe_drift = False``.
+    tile_safe_drift: bool = False
+
+    def obs_tiles(self, x: Array) -> Array:
+        """Noise-free observation on stacked tiles ``x (latent, S, L)`` —
+        the zero-noise specialisation of ``f_obs`` (C = eye truncation).
+        Override alongside ``f_obs`` (e.g. angle wrapping)."""
+        return x[: self.n_obs]
+
 
 def time_varying(param: Array, ts: Array, t: Array) -> Array:
     """Resolve a possibly time-varying scalar parameter.

@@ -45,6 +45,7 @@ class HarmonicOscillator(ControlEnvironmentBase):
     (reference ``harmonic_oscillator.py:8-84``)."""
 
     n_targets = 1
+    tile_safe_drift = True
 
     def __init__(self, process_noise: float = 0.0, obs_noise: float = 0.0, n_obs: int = 2):
         super().__init__(process_noise, obs_noise, n_var=2, n_control=1, n_dim=1, n_obs=n_obs)
@@ -97,6 +98,8 @@ class HarmonicOscillator(ControlEnvironmentBase):
 
 
 class ChangingHarmonicOscillator(HarmonicOscillator):
+    tile_safe_drift = False  # time-varying params via params_at interpolation
+
     """Time-varying A(t) variant (reference ``harmonic_oscillator.py:86-169``):
     params are always per-save-point series, interpolated at solver time."""
 
@@ -168,6 +171,8 @@ class HarmonicOscillator2(ControlEnvironmentBase):
 
 
 class CartPole(ControlEnvironmentBase):
+    tile_safe_drift = True
+
     """Classic cart-pole (reference ``cart_pole.py:7-80``); cost counts
     invalid (diverged) trajectory points."""
 
@@ -213,6 +218,10 @@ class Acrobot(ControlEnvironmentBase):
     """Underactuated two-link swing-up, one torque (reference
     ``acrobot.py:7-87``); the StaticPolicy/DynamicPolicy notebooks' benchmark.
 
+    ``tile_safe_drift``: the dynamics are elementwise over indexed state, so
+    the same ``drift`` code traces on stacked register tiles inside the fused
+    Pallas policy rollout.
+
     Fitness = index of first success (link tips above 1.5) + full horizon if
     never successful + control cost before success. Observations wrap both
     angles into [-pi, pi). A velocity-bound event kills runaway trajectories.
@@ -236,10 +245,16 @@ class Acrobot(ControlEnvironmentBase):
         ones = jnp.ones(batch_size)
         return ones, ones, ones, ones  # l1, l2, m1, m2 (Constant mode, :24-27)
 
+    tile_safe_drift = True
+
     def f_obs(self, key: Array, t: Array, x: Array, params) -> Array:
         y = super().f_obs(key, t, x, params)
         wrap = lambda a: (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
         return jnp.concatenate([wrap(y[:2]), y[2:]])[: self.n_obs]
+
+    def obs_tiles(self, x: Array) -> Array:
+        wrap = lambda a: (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        return jnp.concatenate([wrap(x[:2]), x[2:]])[: self.n_obs]
 
     def _accelerations(self, x: Array, torque1: Array, torque2: Array, params) -> Array:
         l1, l2, m1, m2 = params
@@ -318,6 +333,8 @@ class Acrobot2(Acrobot):
 
 
 class StirredTankReactor(ControlEnvironmentBase):
+    tile_safe_drift = True
+
     """Exothermic CSTR with Arrhenius kinetics and coolant control
     (reference ``reactor.py:7-99``). State: (Tc, T, c)."""
 

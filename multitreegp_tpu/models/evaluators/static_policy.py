@@ -63,6 +63,61 @@ class StaticPolicyEvaluator:
         return evaluate_trees(policy, data[..., None, :], self.fset, impl=self.interpreter)
 
     def _rollout(self, population: TreeTensors, data: Tuple):
+        """Dispatch: fused whole-rollout Pallas kernel when the env/config
+        qualifies (see pallas_policy), else the general scan path."""
+        env = self.env
+        if (
+            self.interpreter in ("auto", "pallas")
+            and self.method in ("euler", "heun", "rk4")
+            and not self.stochastic
+            and env.obs_noise == 0.0
+            and self.fset.num_variables == env.n_obs + env.n_targets
+        ):
+            from ...core.pallas_policy import policy_rollout_available
+
+            if policy_rollout_available(env, self.fset, population, data[5], False):
+                try:
+                    return self._rollout_fused(population, data)
+                except ValueError:
+                    pass  # traced time grid etc. -> general path
+        return self._rollout_general(population, data)
+
+    def _rollout_fused(self, population: TreeTensors, data: Tuple):
+        import numpy as np
+
+        from ...core.pallas_policy import rollout_policy_pallas
+
+        x0, ts, targets, _pk, _ok, params = data
+        env, fset = self.env, self.fset
+
+        @jax.custom_vjp
+        def run(ops, c1, c2, const):
+            t = TreeTensors(ops, c1, c2, const)
+            return rollout_policy_pallas(
+                t, x0, ts, targets, params, env, fset,
+                substeps=self.substeps, method=self.method, state_size=0,
+            )
+
+        def fwd(ops, c1, c2, const):
+            return run(ops, c1, c2, const), (ops, c1, c2, const)
+
+        def bwd(res, g):
+            ops, c1, c2, const = res
+            g_xs, _g_alive = g
+
+            def f(c):
+                xs, _ = self._rollout_general(TreeTensors(ops, c1, c2, c), data)
+                return xs
+
+            _, vjp = jax.vjp(f, const)
+            (dconst,) = vjp(g_xs)
+            zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+            return zero(ops), zero(c1), zero(c2), dconst
+
+        run.defvjp(fwd, bwd)
+        return run(population.ops, population.c1, population.c2, population.const)
+
+    def _rollout_general(self, population: TreeTensors, data: Tuple):
         x0, ts, targets, _pkeys, obs_keys, params = data
         p = population.batch_shape[0]
         b = x0.shape[0]

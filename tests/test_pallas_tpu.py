@@ -115,6 +115,49 @@ def test_fused_rollout_matches_unfused():
 
 
 @requires_tpu
+def test_fused_policy_rollouts_match_general():
+    """Static + dynamic policy fused kernels vs the general scan path on
+    Acrobot (measured bit-identical for the clipped/wrapped dynamics)."""
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import Acrobot
+    from multitreegp_tpu.models.evaluators import (
+        DynamicPolicyEvaluator,
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    ops = [("+", jnp.add, 2), ("-", jnp.subtract, 2), ("*", jnp.multiply, 2),
+           ("sin", jnp.sin, 1), ("cos", jnp.cos, 1)]
+    env = Acrobot(0.0, 0.0)
+    ts = jnp.arange(0.0, 2.0, 0.2)
+    data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=8)
+
+    fs = build_function_set(ops, [[f"y{i}" for i in range(4)]], [1])
+    pop = make_population_sampler(fs, 4, 32)(jr.PRNGKey(1), 128)
+    a = np.asarray(jax.jit(lambda p: StaticPolicyEvaluator(
+        env, fs, substeps=2).evaluate_population(p, data))(pop))
+    b = np.asarray(jax.jit(lambda p: StaticPolicyEvaluator(
+        env, fs, substeps=2, interpreter="ladder").evaluate_population(p, data))(pop))
+    both = (a < 1e4) & (b < 1e4)
+    rel = np.abs(a[both] - b[both]) / (np.abs(b[both]) + 1e-6)
+    assert (rel < 1e-3).mean() > 0.98
+
+    fs3 = build_function_set(
+        ops, [[f"y{i}" for i in range(4)] + ["a0", "a1", "u"], ["a0", "a1"]], [2, 1]
+    )
+    pop3 = make_population_sampler(fs3, 4, 32)(jr.PRNGKey(1), 128)
+    a = np.asarray(jax.jit(lambda p: DynamicPolicyEvaluator(
+        env, fs3, state_size=2, substeps=2).evaluate_population(p, data))(pop3))
+    b = np.asarray(jax.jit(lambda p: DynamicPolicyEvaluator(
+        env, fs3, state_size=2, substeps=2, interpreter="ladder"
+    ).evaluate_population(p, data))(pop3))
+    both = (a < 1e4) & (b < 1e4)
+    rel = np.abs(a[both] - b[both]) / (np.abs(b[both]) + 1e-6)
+    assert (rel < 1e-3).mean() > 0.98
+
+
+@requires_tpu
 def test_constant_opt_through_fused_rollout():
     from multitreegp_tpu.models.environments import VanDerPolOscillator
     from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
