@@ -87,6 +87,73 @@ def main(
     return rate
 
 
+def main_policy(
+    population_size: int = 512,
+    batch_size: int = 16,
+    horizon: float = 50.0,
+    dt: float = 0.2,
+    substeps: int = 4,
+    max_nodes: int = 30,
+    repeats: int = 5,
+):
+    """Closed-loop control workload: the StaticPolicy notebook shape
+    (Acrobot swing-up) through the fused policy rollout kernel."""
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import Acrobot
+    from multitreegp_tpu.models.evaluators import (
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.utils.metrics import node_evals_per_evaluation
+
+    operators = [
+        ("+", jnp.add, 2), ("-", jnp.subtract, 2), ("*", jnp.multiply, 2),
+        ("sin", jnp.sin, 1), ("cos", jnp.cos, 1),
+    ]
+    env = Acrobot(0.0, 0.0)
+    fset = build_function_set(operators, [[f"y{i}" for i in range(env.n_obs)]],
+                              [env.n_control])
+    ts = jnp.arange(0.0, horizon, dt)
+    data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=batch_size)
+    pop = make_population_sampler(fset, 4, max_nodes)(jr.PRNGKey(1), population_size)
+    evaluator = StaticPolicyEvaluator(env, fset, substeps=substeps)
+
+    eval_fn = jax.jit(lambda p: evaluator.evaluate_population(p, data))
+    fitness = jax.block_until_ready(eval_fn(pop))
+    assert bool(jnp.isfinite(fitness).all())
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(eval_fn(pop))
+        times.append(time.perf_counter() - t0)
+    dt_best = min(times)
+
+    node_evals = node_evals_per_evaluation(
+        population_size=population_size,
+        num_trees=fset.num_trees,
+        max_nodes=max_nodes,
+        batch_size=batch_size,
+        num_save_points=ts.shape[0],
+        substeps=substeps,
+        method=evaluator.method,
+        replay_trees=fset.num_trees,
+    )
+    rate = node_evals / dt_best
+    print(
+        json.dumps(
+            {
+                "metric": "policy_node_evals_per_sec_per_chip",
+                "value": rate,
+                "unit": "node-evals/s",
+                "vs_baseline": rate / TARGET,
+            }
+        )
+    )
+    return rate
+
+
 CONFIGS = {
     # BASELINE.json workloads. Default = the pop-4096 ODE north-star.
     "default": {},
@@ -100,4 +167,7 @@ if __name__ == "__main__":
     import sys
 
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
-    main(**CONFIGS[cfg])
+    if cfg == "policy":
+        main_policy()
+    else:
+        main(**CONFIGS[cfg])

@@ -205,7 +205,7 @@ def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
     if trees.max_nodes > UNROLL_MAX_NODES:
         return False
     leaves = jax.tree_util.tree_leaves(params)
-    return all(getattr(p, "ndim", 99) <= 1 for p in leaves)
+    return all(getattr(p, "ndim", 0) <= 1 for p in leaves)  # python scalars ok
 
 
 def rollout_policy_pallas(
