@@ -154,6 +154,53 @@ def main_policy(
     return rate
 
 
+def main_generations(
+    population_size: int = 4096,
+    batch_size: int = 16,
+    horizon: float = 10.0,
+    dt: float = 0.2,
+    generations: int = 20,
+    max_nodes: int = 32,
+):
+    """Full-generation throughput: evaluate + select + crossover/mutate +
+    migrate, fused on device (BASELINE.json: 'generations/sec at pop=4096')."""
+    from multitreegp_tpu import GeneticProgramming
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, horizon, dt)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=batch_size)
+    gp = GeneticProgramming(
+        num_generations=generations,
+        population_size=population_size // 8,
+        fitness_function=SREvaluator(substeps=1),
+        operator_list=[("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+                       ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        variable_list=[["x0", "x1"]],
+        layer_sizes=[2],
+        num_populations=8,
+        max_nodes=max_nodes,
+    )
+    warm, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)  # compile
+    jax.block_until_ready(warm)
+    t0 = time.perf_counter()
+    best_fit, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)
+    jax.block_until_ready(best_fit)
+    rate = generations / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "generations_per_sec_pop4096",
+                "value": rate,
+                "unit": "generations/s",
+                "vs_baseline": rate,  # reference: ~1 host-driven gen/s class
+            }
+        )
+    )
+    return rate
+
+
 CONFIGS = {
     # BASELINE.json workloads. Default = the pop-4096 ODE north-star.
     "default": {},
@@ -169,5 +216,7 @@ if __name__ == "__main__":
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
     if cfg == "policy":
         main_policy()
+    elif cfg == "gen":
+        main_generations()
     else:
         main(**CONFIGS[cfg])

@@ -380,9 +380,20 @@ class GeneticProgramming:
                 new_pop = shard_population(new_pop, None, self.mesh)
             return (new_pop, key), (flat_fit[best], best_solution, fitness)
 
-        (final_pop, _), (best_fit, best_sol, fitness_hist) = jax.lax.scan(
-            generation, (populations, run_key), jnp.arange(g)
-        )
+        # cache the compiled run per (data, length, sharding) so repeated
+        # fit() calls don't re-trace the whole-evolution scan
+        cache_key = (id(data), g, shard)
+        if not hasattr(self, "_fit_cache"):
+            self._fit_cache = {}
+        if cache_key not in self._fit_cache:
+            self._fit_cache[cache_key] = jax.jit(
+                lambda populations, run_key: jax.lax.scan(
+                    generation, (populations, run_key), jnp.arange(g)
+                )
+            )
+        (final_pop, _), (best_fit, best_sol, fitness_hist) = self._fit_cache[
+            cache_key
+        ](populations, run_key)
         self.best_fitnesses = best_fit
         self.best_solutions = best_sol
         self.current_generation = g
