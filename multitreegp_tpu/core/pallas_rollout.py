@@ -104,7 +104,10 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             )
 
         def drift(x_tiles):
-            return [eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles) for mi in range(m)]
+            return [
+                eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
+                for mi in range(m)
+            ]
 
         def ok_mask(x_tiles):
             good = None
@@ -162,6 +165,10 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
 
 def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
+    # Deep trees (N > UNROLL_MAX_NODES) deliberately use the per-call
+    # interpreter kernel instead: a fused variant with dynamic in-kernel row
+    # loops was measured SLOWER (2.8 vs 8.2 Gnodes/s at N=128) - small lane
+    # tiles cannot amortise the gather-ladder loop overhead.
     return (
         _HAS_PALLAS
         and jax.default_backend() == "tpu"
@@ -243,6 +250,7 @@ def _rollout_impl(
     if dt is None:
         raise ValueError("rollout_sr_pallas requires a concrete uniform time grid")
 
+    sub = SUBLANES
     lanes = p * b
     pad = (-lanes) % TILE
     lp = lanes + pad
@@ -253,7 +261,7 @@ def _rollout_impl(
         xt = jnp.moveaxis(x, 0, -1)  # (m, N, P)
         xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
-        return xt.astype(dtype).reshape(m, n, grid, SUBLANES, LANE)
+        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
 
     ops_l = prep_tree(trees.ops, jnp.int32)
     c2_l = prep_tree(trees.c2, jnp.int32)
@@ -262,34 +270,34 @@ def _rollout_impl(
     # x0: (P, B, d) -> (d, L)
     x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
     x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
-    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, SUBLANES, LANE)
+    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
 
     kernel = _make_rollout_kernel(fset, n, m, t_steps, substeps, dt, method)
-
     tree_spec = pl.BlockSpec(
-        (m, n, 1, SUBLANES, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+        (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
     )
+
     xs, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             tree_spec, tree_spec, tree_spec,
-            pl.BlockSpec((d, 1, SUBLANES, LANE), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.ANY),  # trajectory stays in HBM
-            pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_steps, m, grid, SUBLANES, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((grid, SUBLANES, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((t_steps, m, grid, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((m, SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((2, m, SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((m, sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((2, m, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(ops_l, c2_l, const_l, x0_l)
