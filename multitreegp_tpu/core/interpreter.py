@@ -36,7 +36,6 @@ A Pallas TPU kernel with the same contract lives in :mod:`pallas_interpreter`.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -22,8 +22,6 @@ that this path is TPU-only; on CPU it falls back to the XLA implementation.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

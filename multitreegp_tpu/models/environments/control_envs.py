@@ -11,12 +11,11 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import jax.random as jr
 from jax import Array
 
-from .base import ControlEnvironmentBase, obs_noise_at, time_varying
+from .base import ControlEnvironmentBase, time_varying
 
 
 def _switch_series(key: Array, batch: int, ts: Array, minval: float, maxval: float) -> Array:

@@ -19,7 +19,6 @@ the reference's Brownian path is commented out, ``SR_evaluator.py:73-74``).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -21,7 +21,6 @@ shaped schedule that XLA can pipeline.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

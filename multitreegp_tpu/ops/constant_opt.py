@@ -17,7 +17,6 @@ dispatch guarantees no NaN cotangents from not-taken opcode branches.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

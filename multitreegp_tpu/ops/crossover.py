@@ -23,7 +23,6 @@ instead of bespoke triple-roll masking.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

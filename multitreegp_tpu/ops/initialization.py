@@ -26,7 +26,6 @@ work and its ``prune_tree`` is a second sequential ``fori_loop``
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import numpy as np

@@ -32,7 +32,7 @@ fused population kernel can never produce an invalid tree.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Tuple
 
 import jax
@@ -42,7 +42,7 @@ import numpy as np
 from jax import Array
 
 from ..core.registry import FunctionSet
-from ..core.trees import CONST, EMPTY, OP_START, TreeTensors, subtree_span_at, tree_sizes
+from ..core.trees import CONST, OP_START, TreeTensors, subtree_span_at, tree_sizes
 from .crossover import forced_bernoulli_mask
 from .splice import compose1, compose2, extract_subtree, leaf_block, splice
 

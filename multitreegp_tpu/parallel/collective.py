@@ -20,7 +20,6 @@ Semantics are identical to ``migrate_ring`` + vmapped ``evolve_island``
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

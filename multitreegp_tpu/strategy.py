@@ -21,8 +21,7 @@ the constant-optimisation top-k is configurable instead of hardcoded 50;
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ import jax.random as jr
 import optax
 from jax import Array
 
-from .core.interpreter import evaluate_trees, make_candidate_evaluator
+from .core.interpreter import make_candidate_evaluator
 from .core.registry import FunctionSet, build_function_set
 from .core.trees import TreeTensors, tree_sizes
 from .ops.constant_opt import make_constant_optimiser
