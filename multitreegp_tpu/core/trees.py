@@ -29,7 +29,7 @@ Leading batch dims stack trees into candidates ``(num_trees, N)``, populations
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 from jax import Array
@@ -153,6 +153,30 @@ def subtree_span_at(ops: Array, slots: Array, node_idx: Array) -> Array:
     valid = (s == 1) & (idx <= node_idx[..., None])
     k = jnp.max(jnp.where(valid, idx, -1), axis=-1)
     return (node_idx - k + 1).astype(jnp.int32)
+
+
+def rebuild_pointers(ops: Array, slots: Array) -> Tuple[Array, Array]:
+    """Derive (c1, c2) child pointers from opcodes alone.
+
+    For root-last/children-first trees the pointers are redundant: the first
+    child of an operator row ``i`` is always row ``i-1``, and the second child
+    sits directly below the first child's subtree, ``c2[i] = i-1 -
+    span(i-1)``. The Pallas reproduction kernel (``core.tile_surgery``) only
+    carries (ops, const) and calls this once per generation to restore the
+    full :class:`TreeTensors` contract.
+
+    ops: int32 (..., N) -> (c1, c2) int32 (..., N).
+    """
+    n = ops.shape[-1]
+    ar = arity_of(ops, slots)
+    spans = subtree_spans(ops, slots)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    span_below = jnp.concatenate(
+        [jnp.zeros_like(spans[..., :1]), spans[..., :-1]], axis=-1
+    )  # spans[i-1] aligned at row i
+    c1 = jnp.where(ar >= 1, idx - 1, -1)
+    c2 = jnp.where(ar == 2, idx - 1 - span_below, -1)
+    return c1.astype(jnp.int32), c2.astype(jnp.int32)
 
 
 def validate_host(trees: TreeTensors, slots) -> None:

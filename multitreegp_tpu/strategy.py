@@ -33,8 +33,10 @@ from .core.interpreter import make_candidate_evaluator
 from .core.registry import FunctionSet, build_function_set
 from .core.trees import TreeTensors, tree_sizes
 from .ops.constant_opt import make_constant_optimiser
+from .core.pallas_reproduction import reproduction_kernel_available
 from .ops.initialization import make_population_sampler, make_tree_sampler
 from .ops.mutation import make_mutators
+from .ops.pallas_evolve import make_evolve_populations_fused
 from .ops.reproduction import (
     island_hyperparams,
     make_evolve_island,
@@ -75,6 +77,7 @@ class GeneticProgramming:
         mutation_probability_factors: Tuple[float, float] = (0.1, 0.5),
         sample_probability_factors: Tuple[float, float] = (0.0, 0.1),
         mesh=None,
+        fused_reproduction: Optional[bool] = None,
         **kwargs,
     ) -> None:
         # reference-spelling alias (genetic_programming.py:72 "size_parsinomy")
@@ -159,14 +162,36 @@ class GeneticProgramming:
             mutation_probability_factors,
             sample_probability_factors,
         )
-        self._evolve_populations = make_evolve_populations(
-            evolve_island,
-            migration_period,
-            self.migration_size,
-            self.reproduction_type_probabilities,
-            self.reproduction_probabilities,
-            self.tournament_probabilities,
-        )
+        # reproduce stage: one Pallas kernel launch on TPU (20x the vmapped
+        # lax.switch path, measured 28 ms vs 568 ms at pop 4096), XLA elsewhere.
+        # Explicit `fused_reproduction=` overrides the auto-dispatch.
+        if fused_reproduction is None:
+            fused_reproduction = reproduction_kernel_available(max_nodes)
+        self.fused_reproduction = bool(fused_reproduction)
+        if self.fused_reproduction:
+            self._evolve_populations = make_evolve_populations_fused(
+                self.fset,
+                population_size,
+                self.elite_size,
+                tournament_size,
+                migration_period,
+                self.migration_size,
+                self.reproduction_type_probabilities,
+                self.reproduction_probabilities,
+                self.tournament_probabilities,
+                max_nodes,
+                max_init_depth,
+                coefficient_sd,
+            )
+        else:
+            self._evolve_populations = make_evolve_populations(
+                evolve_island,
+                migration_period,
+                self.migration_size,
+                self.reproduction_type_probabilities,
+                self.reproduction_probabilities,
+                self.tournament_probabilities,
+            )
 
         self._optimise = make_constant_optimiser(
             lambda pop, data: self.evaluator.evaluate_population(pop, data),

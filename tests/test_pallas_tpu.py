@@ -158,6 +158,37 @@ def test_fused_policy_rollouts_match_general():
 
 
 @requires_tpu
+def test_fused_reproduction_kernel():
+    """One-launch Pallas reproduce: valid trees, elites kept, migration gen."""
+    from multitreegp_tpu.core.trees import validate_host
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.ops.pallas_evolve import make_evolve_populations_fused
+    from multitreegp_tpu.ops.reproduction import island_hyperparams
+
+    fset = _fset()
+    islands, pop_size, elite = 4, 128, 12
+    tp, rtp, rp = island_hyperparams(
+        islands, 7, (0.6, 0.9), (1.0, 0.5), (0.9, 0.4), (0.1, 0.5), (0.0, 0.1)
+    )
+    fused = jax.jit(make_evolve_populations_fused(
+        fset, pop_size, elite, 7, 10, 13, rtp, rp, tp, max_nodes=32, max_init_depth=4
+    ))
+    pops = jax.vmap(lambda k: make_population_sampler(fset, 4, 32)(k, pop_size))(
+        jr.split(jr.PRNGKey(0), islands)
+    )
+    fitness = jr.uniform(jr.PRNGKey(1), (islands, pop_size))
+    out = jax.block_until_ready(fused(pops, fitness, jr.PRNGKey(2), jnp.int32(0)))
+    validate_host(out, fset.slots)
+    order = np.argsort(np.asarray(fitness), axis=1)
+    for i in range(islands):
+        np.testing.assert_array_equal(
+            np.asarray(out.ops[i, :elite]), np.asarray(pops.ops[i, order[i, :elite]])
+        )
+    out2 = jax.block_until_ready(fused(pops, fitness, jr.PRNGKey(3), jnp.int32(9)))
+    validate_host(out2, fset.slots)
+
+
+@requires_tpu
 def test_constant_opt_through_fused_rollout():
     from multitreegp_tpu.models.environments import VanDerPolOscillator
     from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
