@@ -213,6 +213,13 @@ class GeneticProgramming:
         self._eval_cache: dict = {}
         self._optimise_cache: dict = {}
         self._jit_evolve = jax.jit(self._evolve_populations)
+        # eager sampling costs ~2 s/call at pop 4096 over the device tunnel
+        # (per-op dispatch); jitted it is 50 ms
+        self._jit_init = jax.jit(
+            lambda key: jax.vmap(
+                lambda k: self.sample_population(k, self.population_size)
+            )(jr.split(key, self.num_populations))
+        )
 
         # the reference-style per-candidate tree evaluator handed to users
         self.tree_evaluator = make_candidate_evaluator(self.fset)
@@ -222,8 +229,7 @@ class GeneticProgramming:
     def initialize_population(self, key: Array) -> TreeTensors:
         """(islands, pop, trees, nodes) tree tensors
         (reference :298-308)."""
-        keys = jr.split(key, self.num_populations)
-        return jax.vmap(lambda k: self.sample_population(k, self.population_size))(keys)
+        return self._jit_init(key)
 
     def _flat_eval(self, flat_pop: TreeTensors, data) -> Array:
         fitness = self.evaluator.evaluate_population(flat_pop, data)
