@@ -141,6 +141,100 @@ def make_evolve_populations_collective(
     return step
 
 
+def make_evolve_populations_collective_fused(
+    reproduce_islands: Callable,
+    mesh: Mesh,
+    migration_period: int,
+    migration_size: int,
+    reproduction_type_probabilities: Array,  # (islands, 3)
+    reproduction_probabilities: Array,  # (islands,)
+    tournament_probabilities: Array,  # (islands, tournament_size)
+    axis_name: str = "i",
+):
+    """Sharded generation step around the Pallas reproduction kernel.
+
+    GSPMD cannot partition a ``pallas_call``, so the fused reproduce
+    (``ops.pallas_evolve.make_reproduce_islands``) must run INSIDE
+    ``shard_map``: each device launches the kernel on its local islands'
+    lanes; ring migration crosses device boundaries via ``ppermute`` exactly
+    as in :func:`make_evolve_populations_collective`.
+    """
+    n_dev = mesh.devices.size
+
+    def local_step(populations, fitness, keys, hp_type, hp_repro, hp_tour, generation):
+        local = fitness.shape[0]
+        do_migrate = (local * n_dev > 1) & (((generation + 1) % migration_period) == 0)
+
+        send_pop, send_fit = _sorted_blocks(populations, fitness, migration_size)
+        send_pop = _ring_shift_islands(send_pop, axis_name)
+        send_fit = _ring_shift_islands(send_fit, axis_name)
+
+        worst = jnp.argsort(fitness, axis=1, descending=True)[:, :migration_size]
+        scatter = lambda x, idx, blk: jax.vmap(lambda xi, ii, bi: xi.at[ii].set(bi))(
+            x, idx, blk
+        )
+        migrated_pop = jax.tree_util.tree_map(
+            lambda x, blk: scatter(x, worst, blk), populations, send_pop
+        )
+        migrated_fit = scatter(fitness, worst, send_fit)
+
+        populations = jax.tree_util.tree_map(
+            lambda m, p: jnp.where(do_migrate, m, p), migrated_pop, populations
+        )
+        fitness = jnp.where(do_migrate, migrated_fit, fitness)
+
+        return reproduce_islands(
+            populations, fitness, keys, hp_type, hp_repro, hp_tour
+        )
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name), P(),
+        ),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    def step(populations: TreeTensors, fitness: Array, key: Array, generation: Array):
+        num_islands = fitness.shape[0]
+        assert num_islands % n_dev == 0, (
+            f"islands ({num_islands}) must divide over {n_dev} devices"
+        )
+        keys = jr.split(key, num_islands)
+        return sharded(
+            populations,
+            fitness,
+            keys,
+            reproduction_type_probabilities,
+            reproduction_probabilities,
+            tournament_probabilities,
+            generation,
+        )
+
+    return step
+
+
+def make_sharded_evaluator(eval_islands: Callable, mesh: Mesh, axis_name: str = "i"):
+    """Wrap ``eval_islands(populations) -> fitness`` (island-major, no
+    cross-island communication) in ``shard_map`` over the island axis.
+
+    Fitness evaluation is embarrassingly parallel across islands, but the
+    fused rollout kernel inside it is a ``pallas_call`` that GSPMD would
+    otherwise replicate — per-device launches over local islands restore
+    linear scaling.
+    """
+    return shard_map(
+        eval_islands,
+        mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+
 def global_best(fitness: Array, populations: TreeTensors, mesh: Mesh, axis_name: str = "i"):
     """Sharded global argmin: (best_fitness, best_candidate) without
     gathering the population to one device."""

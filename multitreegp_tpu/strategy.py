@@ -242,12 +242,15 @@ class GeneticProgramming:
         return fitness
 
     def _evaluate_core(self, populations: TreeTensors, data) -> Array:
+        # island count from the input, not self.num_populations: inside
+        # shard_map (fit(shard=True)) each device evaluates its LOCAL islands
+        islands = populations.ops.shape[0]
         flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((self.num_populations * self.population_size,) + x.shape[2:]),
+            lambda x: x.reshape((islands * self.population_size,) + x.shape[2:]),
             populations,
         )
         fitness = self._flat_eval(flat, data)
-        return fitness.reshape(self.num_populations, self.population_size)
+        return fitness.reshape(islands, self.population_size)
 
     def _optimise_core(self, populations: TreeTensors, fitness: Array, data):
         """Refine constants of the global top-k and splice results back
@@ -367,29 +370,58 @@ class GeneticProgramming:
         populations = self.initialize_population(init_key)
 
         evolve = self._evolve_populations
+        eval_core = lambda p: self._evaluate_core(p, data)
         if shard:
             populations = shard_population(populations, None, self.mesh)
             n_dev = self.mesh.devices.size
             if n_dev > 1 and self.num_populations % n_dev == 0:
-                # explicit SPMD step: migration rides ICI as a ppermute
-                from .parallel.collective import make_evolve_populations_collective
-
-                evolve = make_evolve_populations_collective(
-                    self._evolve_island,
-                    self.mesh,
-                    self.migration_period,
-                    self.migration_size,
-                    self.reproduction_type_probabilities,
-                    self.reproduction_probabilities,
-                    self.tournament_probabilities,
+                # explicit SPMD step: migration rides ICI as a ppermute, and
+                # the Pallas kernels (GSPMD cannot partition a pallas_call)
+                # launch per-device on local islands inside shard_map
+                from .parallel.collective import (
+                    make_evolve_populations_collective,
+                    make_evolve_populations_collective_fused,
+                    make_sharded_evaluator,
                 )
+
+                if self.fused_reproduction:
+                    from .ops.pallas_evolve import make_reproduce_islands
+
+                    evolve = make_evolve_populations_collective_fused(
+                        make_reproduce_islands(
+                            self.fset,
+                            self.population_size,
+                            self.elite_size,
+                            self.tournament_size,
+                            self.max_nodes,
+                            self.max_init_depth,
+                            self.coefficient_sd,
+                        ),
+                        self.mesh,
+                        self.migration_period,
+                        self.migration_size,
+                        self.reproduction_type_probabilities,
+                        self.reproduction_probabilities,
+                        self.tournament_probabilities,
+                    )
+                else:
+                    evolve = make_evolve_populations_collective(
+                        self._evolve_island,
+                        self.mesh,
+                        self.migration_period,
+                        self.migration_size,
+                        self.reproduction_type_probabilities,
+                        self.reproduction_probabilities,
+                        self.tournament_probabilities,
+                    )
+                eval_core = make_sharded_evaluator(eval_core, self.mesh)
 
         use_const_opt = self.coefficient_optimisation
 
         def generation(carry, gen):
             populations, key = carry
             key, evolve_key = jr.split(key)
-            fitness = self._evaluate_core(populations, data)
+            fitness = eval_core(populations)
             if use_const_opt:
                 do = (gen > 10) & ((gen + 1) % 5 == 0)
                 populations, fitness = jax.lax.cond(

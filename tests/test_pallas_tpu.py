@@ -189,6 +189,54 @@ def test_fused_reproduction_kernel():
 
 
 @requires_tpu
+def test_pallas_kernels_inside_shard_map():
+    """Multi-chip composition on a 1-device mesh: the fused reproduce and the
+    fused rollout eval launch inside shard_map (GSPMD cannot partition a
+    pallas_call, so this is the only sharded path that engages the kernels)."""
+    from multitreegp_tpu.core.trees import validate_host
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.ops.pallas_evolve import make_reproduce_islands
+    from multitreegp_tpu.ops.reproduction import island_hyperparams
+    from multitreegp_tpu.parallel.collective import (
+        make_evolve_populations_collective_fused,
+        make_sharded_evaluator,
+    )
+    from multitreegp_tpu.parallel.mesh import make_mesh
+
+    fset = _fset()
+    mesh = make_mesh(1)
+    islands, pop_size, elite = 4, 128, 12
+    tp, rtp, rp = island_hyperparams(
+        islands, 7, (0.6, 0.9), (1.0, 0.5), (0.9, 0.4), (0.1, 0.5), (0.0, 0.1)
+    )
+    step = jax.jit(make_evolve_populations_collective_fused(
+        make_reproduce_islands(fset, pop_size, elite, 7, 32, 4),
+        mesh, 10, 13, rtp, rp, tp,
+    ))
+    pops = jax.vmap(lambda k: make_population_sampler(fset, 4, 32)(k, pop_size))(
+        jr.split(jr.PRNGKey(0), islands)
+    )
+    fitness = jr.uniform(jr.PRNGKey(1), (islands, pop_size))
+    out = jax.block_until_ready(step(pops, fitness, jr.PRNGKey(2), jnp.int32(0)))
+    validate_host(out, fset.slots)
+
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 4.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=8, substeps=8)
+    ev = SREvaluator(fset, substeps=1)
+
+    def eval_islands(p):
+        flat = jax.tree_util.tree_map(lambda x: x.reshape((-1,) + x.shape[2:]), p)
+        return ev.evaluate_population(flat, data).reshape(p.ops.shape[0], -1)
+
+    a = np.asarray(jax.jit(make_sharded_evaluator(eval_islands, mesh))(pops))
+    b = np.asarray(jax.jit(eval_islands)(pops))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+@requires_tpu
 def test_constant_opt_through_fused_rollout():
     from multitreegp_tpu.models.environments import VanDerPolOscillator
     from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
