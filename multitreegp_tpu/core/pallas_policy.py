@@ -15,11 +15,23 @@ per RK stage, per substep, per save step — tree streams, targets and physics
 parameters resident in VMEM for the whole trajectory.
 
 Engages only when: TPU + concrete uniform grid + ``env.tile_safe_drift`` +
-zero observation/process noise + per-trajectory scalar params (Constant /
-Different modes) + ``max_nodes <= UNROLL_MAX_NODES``. The general scan path
-covers everything else. The post-hoc observation/control replay and the cost
-function stay outside the kernel (they are O(T) work on saved states, not the
-O(T x substeps x stages) hot loop).
+``max_nodes <= UNROLL_MAX_NODES`` + deterministic (non-SDE) stepping. The
+general scan path covers everything else. Two exogenous-input classes stream
+from HBM through a double-buffered staging tile:
+
+* physics parameters — scalars / per-trajectory ``(B,)`` values resident in
+  VMEM, or per-save-point ``(B, T)`` series (Switch/Decay modes) linearly
+  interpolated at every RK stage time in-register (the equivalent of
+  ``params_at`` / ``integrators.linear_interp``);
+* observation noise — the general path's draws are deterministic in
+  (key, solver time), so ``evaluators.noise.make_obs_noise_rows``
+  materialises the exact per-stage draws up front and the kernel adds them
+  via the env's ``obs_tiles_noisy`` — bit-identical noise to the scan path
+  and the post-hoc replay.
+
+The post-hoc observation/control replay and the cost function stay outside
+the kernel (they are O(T) work on saved states, not the O(T x substeps x
+stages) hot loop).
 """
 from __future__ import annotations
 
@@ -80,8 +92,10 @@ def _make_tree_eval(fset: FunctionSet, n: int):
 def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         state_size: int, n_targets: int, params_treedef,
                         n_params: int, t_steps: int, substeps: int, dt: float,
-                        method: str):
+                        method: str, streamed: bool = False,
+                        obs_noise: bool = False):
     stages, final_scale = _RK_TABLES[method]
+    n_stages = len(stages)
     eval_tree = _make_tree_eval(fset, n)
     n_control = m - state_size
     d_aug = latent + state_size
@@ -89,7 +103,8 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
     n_obs = env.n_obs
 
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref,
-               xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem):
+               xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
+               par_scr=None, psem=None):
         # xs_ref lives in HBM (the whole (T, d_aug, grid, S, L) array): a
         # VMEM-resident trajectory buffer would blow the 16 MB budget at the
         # notebook horizons (T=250). Saved states go out through a
@@ -105,13 +120,47 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
         c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
         consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
         tgt = [tgt_ref[i, 0] for i in range(n_targets)]
-        params = jax.tree_util.tree_unflatten(
-            params_treedef, [par_ref[i, 0] for i in range(n_params)]
-        )
+        if streamed:
+            # exogenous per-save-point rows (param values + pre-scaled obs
+            # noise draws) stream in from HBM through a double-buffered
+            # staging tile (mirror of the outbound xs path). Param values at
+            # stage times are linear interpolations between rows t and t+1 —
+            # exactly ``integrators.linear_interp`` on the uniform grid; the
+            # noise block of row t holds every stage draw of interval
+            # [ts[t], ts[t+1]) (``obs_noise_rows`` layout, exact draws).
+            def par_copy(row, slot):
+                return pltpu.make_async_copy(
+                    par_ref.at[row, :, gi], par_scr.at[slot], psem.at[slot]
+                )
+        else:
+            params_const = jax.tree_util.tree_unflatten(
+                params_treedef, [par_ref[i, 0] for i in range(n_params)]
+            )
 
-        def drift(x_tiles):
+        def params_at_step(t, frac: float):
+            """Resolved params pytree at solver time ts[t] + frac * dt."""
+            if not streamed:
+                return params_const
+            lo = [par_scr[t % 2, i] for i in range(n_params)]
+            hi = [par_scr[(t + 1) % 2, i] for i in range(n_params)]
+            return jax.tree_util.tree_unflatten(
+                params_treedef,
+                [l * (1.0 - frac) + h * frac for l, h in zip(lo, hi)],
+            )
+
+        def noise_at(t, substep: int, stage: int):
+            """(n_obs,) noise tiles for one stage drift, or None."""
+            if not obs_noise:
+                return None
+            base = n_params + (substep * n_stages + stage) * n_obs
+            return [par_scr[t % 2, base + i] for i in range(n_obs)]
+
+        def drift(x_tiles, params, noise):
             x_stack = jnp.stack(x_tiles[:latent])
-            y = env.obs_tiles(x_stack)  # (n_obs, S, 128)
+            if noise is None:
+                y = env.obs_tiles(x_stack)  # (n_obs, S, 128)
+            else:
+                y = env.obs_tiles_noisy(x_stack, jnp.stack(noise))
             y_tiles = [y[i] for i in range(n_obs)]
             if dynamic:
                 a = x_tiles[latent:]
@@ -154,20 +203,33 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             stage_ref[0, i] = x[i]
             x_scr[i] = x[i]
         copy_out(0, 0).start()
+        if streamed and t_steps > 1:
+            par_copy(0, 0).start()
+            par_copy(1, 1).start()
+            par_copy(0, 0).wait()
 
         h = dt / substeps
 
         def save_step(t, _):
+            # params: rows t and t+1 must be resident. Row t+1's inbound DMA
+            # was started at step t-1 (rows 0/1 pre-loop); each row is waited
+            # exactly once, at the start of the step that first reads it.
+            if streamed:
+                par_copy(t + 1, (t + 1) % 2).wait()
             x = [x_scr[i] for i in range(d_aug)]
             alive = live_scr[...]
             for _s in range(substeps):
                 acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(d_aug)]
                 k = None
-                for c, w in stages:
+                for _j, (c, w) in enumerate(stages):
                     x_stage = x if k is None else [
                         x[i] + (h * c) * k[i] for i in range(d_aug)
                     ]
-                    k = drift(x_stage)
+                    k = drift(
+                        x_stage,
+                        params_at_step(t, (_s + c) / substeps),
+                        noise_at(t, _s, _j),
+                    )
                     acc = [acc[i] + w * k[i] for i in range(d_aug)]
                 x_new = [x[i] + (h * final_scale) * acc[i] for i in range(d_aug)]
                 alive = alive * ok_mask(x_new)
@@ -183,6 +245,12 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 stage_ref[slot, i] = x[i]
                 x_scr[i] = x[i]
             copy_out(t + 1, slot).start()
+            if streamed:
+                # row t+2 overwrites row t's slot once this step no longer
+                # needs it
+                @pl.when(t + 2 <= t_steps - 1)
+                def _():
+                    par_copy(t + 2, t % 2).start()
             live_scr[...] = alive
             return 0
 
@@ -197,15 +265,31 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
 
 
 def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
-                             params, obs_noise_active: bool) -> bool:
+                             params) -> bool:
     if not (_HAS_PALLAS and jax.default_backend() == "tpu"):
         return False
-    if not getattr(env, "tile_safe_drift", False) or obs_noise_active:
+    if not getattr(env, "tile_safe_drift", False):
         return False
     if trees.max_nodes > UNROLL_MAX_NODES:
         return False
+    # scalars / per-trajectory (B,) / per-save-point series (B, T) — series
+    # stream into the kernel and are linearly interpolated at stage times
     leaves = jax.tree_util.tree_leaves(params)
-    return all(getattr(p, "ndim", 0) <= 1 for p in leaves)  # python scalars ok
+    return all(getattr(p, "ndim", 0) <= 2 for p in leaves)
+
+
+def stage_times(ts: Array, substeps: int, method: str) -> Array:
+    """(T-1, substeps, n_stages) solver times of every drift evaluation.
+
+    Computed with the EXACT f32 expressions of ``integrators._STEPPERS``
+    (``t0 + i*dt`` then ``t + c*dt``), so ``fold_in(key, bitcast(t))`` noise
+    precomputed at these times bit-matches the general scan path's draws.
+    """
+    offs = jnp.asarray([c for c, _w in _RK_TABLES[method][0]], jnp.float32)
+    t0, t1 = ts[:-1], ts[1:]
+    dtv = (t1 - t0) / substeps
+    tb = t0[:, None] + jnp.arange(substeps, dtype=jnp.float32)[None, :] * dtv[:, None]
+    return tb[:, :, None] + offs[None, None, :] * dtv[:, None, None]
 
 
 def rollout_policy_pallas(
@@ -219,13 +303,21 @@ def rollout_policy_pallas(
     substeps: int = 1,
     method: str = "rk4",
     state_size: int = 0,
+    obs_noise_rows: Array | None = None,
 ) -> Tuple[Array, Array]:
     """Fused closed-loop rollout. trees batched ``(P, m)``; ``x0 (B, latent)``;
     ``targets (B, n_targets)``; params: pytree of per-trajectory scalars
-    ``(B,)`` (or python scalars). Returns ``(xas (T, P, B, latent+state_size),
-    alive (T, P, B))``; differentiable via unfused-recompute VJP is NOT wired
-    here — the policy evaluators only use this path outside gradient contexts
-    (constant optimisation routes through the general path)."""
+    ``(B,)`` / python scalars / per-save-point series ``(B, T)``.
+    ``obs_noise_rows`` (optional) carries the pre-scaled observation-noise
+    draws ``obs_noise_at(key, tau) @ W`` for every stage time of
+    :func:`stage_times`, laid out ``(T, B, substeps * n_stages * n_obs)``
+    with row ``t`` holding interval ``[ts[t], ts[t+1])`` (row ``T-1``
+    unused); the evaluators build it so the kernel reproduces the general
+    path's deterministic noise exactly. Returns ``(xas (T, P, B,
+    latent+state_size), alive (T, P, B))``; differentiable via
+    unfused-recompute VJP is NOT wired here — the policy evaluators only use
+    this path outside gradient contexts (constant optimisation routes through
+    the general path)."""
     p, m = trees.batch_shape
     b, latent = x0.shape
     n = trees.max_nodes
@@ -266,14 +358,38 @@ def rollout_policy_pallas(
     tgt_l = prep_b(tgt_src)
 
     leaves, treedef = jax.tree_util.tree_flatten(params)
-    leaves = [jnp.broadcast_to(jnp.asarray(v, jnp.float32), (b,)) for v in leaves]
-    n_params = max(len(leaves), 1)
-    par_src = jnp.stack(leaves, axis=-1) if leaves else jnp.zeros((b, 1))
-    par_l = prep_b(par_src)
+    time_varying = any(getattr(v, "ndim", 0) >= 2 for v in leaves) and t_steps > 1
+    obs_noise = obs_noise_rows is not None and t_steps > 1
+    streamed = time_varying or obs_noise
+    if streamed:
+        # per-save-point rows (T, B) per leaf: (B, T) series transpose,
+        # constants broadcast — the kernel interpolates between rows in VMEM.
+        # Obs-noise rows (exact stage-time draws, ``obs_noise_rows`` layout)
+        # ride the same streamed block after the param rows.
+        rows = [
+            jnp.asarray(v, jnp.float32).T
+            if getattr(v, "ndim", 0) == 2
+            else jnp.broadcast_to(
+                jnp.asarray(v, jnp.float32).reshape(-1)[:b], (t_steps, b)
+            )
+            for v in leaves
+        ]
+        par_src = (
+            jnp.stack(rows, axis=-1) if rows else jnp.zeros((t_steps, b, 0))
+        )  # (T, B, n_params)
+        if obs_noise:
+            par_src = jnp.concatenate(
+                [par_src, jnp.asarray(obs_noise_rows, jnp.float32)], axis=-1
+            )
+        par_l = jax.vmap(prep_b)(par_src)  # (T, rows, grid, S, L)
+    else:
+        leaves_b = [jnp.broadcast_to(jnp.asarray(v, jnp.float32), (b,)) for v in leaves]
+        par_src = jnp.stack(leaves_b, axis=-1) if leaves_b else jnp.zeros((b, 1))
+        par_l = prep_b(par_src)
 
     kernel = _make_policy_kernel(
         env, fset, n, m, latent, state_size, n_targets, treedef,
-        len(leaves), t_steps, substeps, dt, method,
+        len(leaves), t_steps, substeps, dt, method, streamed, obs_noise,
     )
 
     tree_spec = pl.BlockSpec(
@@ -282,12 +398,31 @@ def rollout_policy_pallas(
     vec_spec = lambda k: pl.BlockSpec(
         (k, 1, SUBLANES, LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
     )
+    # streamed exogenous rows (time-varying params / obs noise) stay in HBM
+    # (full (T, rows, ...) array) and stream through a 2-slot VMEM staging
+    # tile; constant params are one VMEM-resident row
+    par_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY)
+        if streamed
+        else vec_spec(par_l.shape[0])
+    )
+    scratch = [
+        pltpu.VMEM((d_aug, SUBLANES, LANE), jnp.float32),
+        pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+        pltpu.VMEM((2, d_aug, SUBLANES, LANE), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if streamed:
+        scratch += [
+            pltpu.VMEM((2, par_l.shape[1], SUBLANES, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     xs, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             tree_spec, tree_spec, tree_spec,
-            vec_spec(d_aug), vec_spec(tgt_l.shape[0]), vec_spec(par_l.shape[0]),
+            vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
         ],
         out_specs=(
             # full trajectory stays in HBM; the kernel DMAs one save row at a
@@ -300,12 +435,7 @@ def rollout_policy_pallas(
             jax.ShapeDtypeStruct((t_steps, d_aug, grid, SUBLANES, LANE), jnp.float32),
             jax.ShapeDtypeStruct((grid, SUBLANES, LANE), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((d_aug, SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((2, d_aug, SUBLANES, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )(ops_l, c2_l, const_l, x0_l, tgt_l, par_l)
 
     xs = xs.reshape(t_steps, d_aug, lp)[:, :, :lanes].reshape(t_steps, d_aug, p, b)

@@ -144,6 +144,14 @@ class ControlEnvironmentBase(abc.ABC):
         Override alongside ``f_obs`` (e.g. angle wrapping)."""
         return x[: self.n_obs]
 
+    def obs_tiles_noisy(self, x: Array, noise: Array) -> Array:
+        """``f_obs`` on stacked tiles with the noise term precomputed:
+        ``noise (n_obs, S, L)`` is the already-scaled additive draw
+        (``obs_noise_at(key, t) @ W``, streamed into the fused kernel).
+        Override alongside ``f_obs`` when noise is not last (e.g. Acrobot
+        wraps angles AFTER adding noise)."""
+        return self.obs_tiles(x) + noise
+
 
 def time_varying(param: Array, ts: Array, t: Array) -> Array:
     """Resolve a possibly time-varying scalar parameter.

@@ -97,10 +97,10 @@ class HarmonicOscillator(ControlEnvironmentBase):
 
 
 class ChangingHarmonicOscillator(HarmonicOscillator):
-    tile_safe_drift = False  # time-varying params via params_at interpolation
-
     """Time-varying A(t) variant (reference ``harmonic_oscillator.py:86-169``):
-    params are always per-save-point series, interpolated at solver time."""
+    params are always per-save-point series, interpolated at solver time.
+    The fused kernel streams the series and interpolates in-register
+    (``pallas_policy`` time-varying path), so the drift stays tile-safe."""
 
     def sample_init_states(self, batch_size: int, key: Array) -> Tuple[Array, Array]:
         k_init, k_target = jr.split(key)
@@ -129,7 +129,13 @@ class ChangingHarmonicOscillator(HarmonicOscillator):
 
 class HarmonicOscillator2(ControlEnvironmentBase):
     """Two coupled oscillators, 2-D control (reference
-    ``harmonic_oscillator.py:172-236``): block-diagonal A with weak coupling."""
+    ``harmonic_oscillator.py:172-236``): block-diagonal A with weak coupling.
+
+    ``drift`` spells the (fixed) A/B matmuls index-wise so it traces on
+    stacked register tiles (``tile_safe_drift``) — a 4x4 matmul over the
+    state axis would not."""
+
+    tile_safe_drift = True
 
     def __init__(self, process_noise: float = 0.0, obs_noise: float = 0.0, n_obs: int | None = None):
         super().__init__(
@@ -156,7 +162,13 @@ class HarmonicOscillator2(ControlEnvironmentBase):
         return jnp.zeros(batch_size)
 
     def drift(self, t: Array, x: Array, u: Array, params) -> Array:
-        return self.a_mat @ x + self.b_mat @ u
+        # == a_mat @ x + b_mat @ u with the constructor's sparsity
+        return jnp.stack([
+            x[1],
+            -x[0] - 0.5 * x[2] + u[0],
+            x[3],
+            -x[2] - 0.5 * x[0] + u[1],
+        ])
 
     def fitness(self, xs: Array, us: Array, target: Array, ts: Array, params) -> Array:
         x_d = jnp.zeros(4).at[0].set(target[0]).at[2].set(target[1])
@@ -254,6 +266,12 @@ class Acrobot(ControlEnvironmentBase):
     def obs_tiles(self, x: Array) -> Array:
         wrap = lambda a: (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
         return jnp.concatenate([wrap(x[:2]), x[2:]])[: self.n_obs]
+
+    def obs_tiles_noisy(self, x: Array, noise: Array) -> Array:
+        # f_obs wraps AFTER adding noise
+        wrap = lambda a: (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        y = x[: self.n_obs] + noise
+        return jnp.concatenate([wrap(y[:2]), y[2:]])
 
     def _accelerations(self, x: Array, torque1: Array, torque2: Array, params) -> Array:
         l1, l2, m1, m2 = params

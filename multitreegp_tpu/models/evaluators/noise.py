@@ -1,0 +1,56 @@
+"""Precomputed observation-noise streams for the fused policy kernels.
+
+The general scan path draws observation noise as a DETERMINISTIC function of
+(key, solver time) — ``obs_noise_at(key, t) = normal(fold_in(key,
+bitcast(t)))`` (reference ``control_environment_base.py:43-48``). That
+determinism is what makes the fused path possible with noise: every draw the
+rollout will ever make is known up front, so the evaluator materialises them
+on the exact stage-time grid (``pallas_policy.stage_times`` reproduces the
+stepper's f32 time arithmetic bit-for-bit) and the kernel streams them from
+HBM alongside the physics parameters. In-kernel PRNG would give a different
+stream than the general path AND the post-hoc replay; this gives the same.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def make_obs_noise_rows(
+    env, ts: Array, params, obs_keys: Array, substeps: int, method: str
+) -> Array:
+    """(T, B, substeps * n_stages * n_obs) pre-scaled noise draws.
+
+    Row ``t`` holds every stage draw of save interval ``[ts[t], ts[t+1])``,
+    flattened ``(substep, stage, obs)``-major; row ``T-1`` pads (unused).
+    Each draw is ``obs_noise_at(key_b, tau) @ W(params_b at tau)`` — the full
+    additive term of ``ControlEnvironmentBase.f_obs``.
+    """
+    from ...core.pallas_policy import stage_times
+    from ..environments.base import obs_noise_at
+
+    b = obs_keys.shape[0]
+    taus = stage_times(ts, substeps, method)  # (T-1, substeps, n_stages)
+    params_b = jax.tree_util.tree_map(
+        lambda v: jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32),
+            (b,) + jnp.asarray(v).shape[1:]
+            if getattr(jnp.asarray(v), "ndim", 0) >= 1
+            else (b,),
+        ),
+        params,
+    )
+
+    def one_tau(tau):
+        def per_traj(key, p):
+            p_t = env.params_at(p, ts, tau)
+            _c, w = env._obs_matrices(p_t)
+            return obs_noise_at(key, tau, env.n_obs) @ w
+
+        return jax.vmap(per_traj)(obs_keys, params_b)
+
+    nz = jax.vmap(one_tau)(taus.reshape(-1))  # (K, B, n_obs)
+    nz = nz.reshape(taus.shape + (b, env.n_obs))
+    nz = jnp.moveaxis(nz, 3, 1).reshape(ts.shape[0] - 1, b, -1)
+    return jnp.concatenate([nz, jnp.zeros_like(nz[:1])], axis=0)

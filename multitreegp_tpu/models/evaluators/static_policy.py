@@ -70,12 +70,11 @@ class StaticPolicyEvaluator:
             self.interpreter in ("auto", "pallas")
             and self.method in ("euler", "heun", "rk4")
             and not self.stochastic
-            and env.obs_noise == 0.0
             and self.fset.num_variables == env.n_obs + env.n_targets
         ):
             from ...core.pallas_policy import policy_rollout_available
 
-            if policy_rollout_available(env, self.fset, population, data[5], False):
+            if policy_rollout_available(env, self.fset, population, data[5]):
                 try:
                     return self._rollout_fused(population, data)
                 except ValueError:
@@ -86,9 +85,15 @@ class StaticPolicyEvaluator:
         import numpy as np
 
         from ...core.pallas_policy import rollout_policy_pallas
+        from .noise import make_obs_noise_rows
 
-        x0, ts, targets, _pk, _ok, params = data
+        x0, ts, targets, _pk, obs_keys, params = data
         env, fset = self.env, self.fset
+        noise_rows = (
+            make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, self.method)
+            if env.obs_noise != 0.0
+            else None
+        )
 
         @jax.custom_vjp
         def run(ops, c1, c2, const):
@@ -96,6 +101,7 @@ class StaticPolicyEvaluator:
             return rollout_policy_pallas(
                 t, x0, ts, targets, params, env, fset,
                 substeps=self.substeps, method=self.method, state_size=0,
+                obs_noise_rows=noise_rows,
             )
 
         def fwd(ops, c1, c2, const):

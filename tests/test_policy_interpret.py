@@ -1,0 +1,170 @@
+"""Fused policy rollout kernel vs the general scan path — CPU, exact.
+
+Runs the REAL kernel algorithm (DMA streaming, stage interpolation, register
+tiling) under ``pltpu.force_tpu_interpret_mode()``, so the fused policy paths
+that previously only executed on hardware are pinned in the CI suite:
+
+* time-varying (B, T) parameter series streamed + interpolated at RK stage
+  times (``pallas_policy`` time-varying path — Switch/Decay param modes and
+  ChangingHarmonicOscillator);
+* multi-control environments (HarmonicOscillator2's index-wise A/B drift);
+* the dynamic (stateful) policy layout.
+
+Short horizons keep parity exact (~1e-6); long-horizon behaviour on marginal
+lanes is fp-ordering dependent and is checked statistically on hardware
+(tests/test_pallas_tpu.py).
+"""
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from multitreegp_tpu.core.registry import build_function_set
+from multitreegp_tpu.ops.initialization import make_population_sampler
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAS_INTERPRET = hasattr(pltpu, "force_tpu_interpret_mode")
+except Exception:  # pragma: no cover
+    HAS_INTERPRET = False
+
+pytestmark = pytest.mark.skipif(
+    not HAS_INTERPRET, reason="needs pallas TPU interpret mode"
+)
+
+OPS = [("+", jnp.add, 2), ("-", jnp.subtract, 2), ("*", jnp.multiply, 2)]
+
+
+def _compare_static(env, param_mode, n_targets_names, key=0):
+    from multitreegp_tpu.core.pallas_policy import rollout_policy_pallas
+    from multitreegp_tpu.models.evaluators import (
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_control_data(
+        env, jr.PRNGKey(key), ts, batch_size=4, param_mode=param_mode
+    )
+    fs = build_function_set(
+        OPS, [[f"y{i}" for i in range(env.n_obs)] + n_targets_names], [env.n_control]
+    )
+    pop = make_population_sampler(fs, 3, 16)(jr.PRNGKey(1), 8)
+    x0, _, targets, _, _, params = data
+    with pltpu.force_tpu_interpret_mode():
+        xs_f, alive_f = rollout_policy_pallas(
+            pop, x0, ts, targets, params, env, fs, substeps=2
+        )
+    evl = StaticPolicyEvaluator(env, fs, substeps=2, interpreter="ladder")
+    xs_l, alive_l = evl._rollout_general(pop, data)
+    af, al = np.asarray(alive_f[-1]), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    m = af & al
+    xs_f, xs_l = np.asarray(xs_f), np.asarray(xs_l)
+    d = np.abs(xs_f[-1][m] - xs_l[-1][m]) / (np.abs(xs_l[-1][m]) + 1e-6)
+    assert d.max() < 1e-4, d.max()
+
+
+def test_time_varying_series_decay():
+    from multitreegp_tpu.models.environments import ChangingHarmonicOscillator
+
+    _compare_static(ChangingHarmonicOscillator(0.0, 0.0), "Decay", ["tgt"])
+
+
+def test_time_varying_series_switch():
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+
+    _compare_static(HarmonicOscillator(0.0, 0.0), "Switch", ["tgt"])
+
+
+def test_harmonic_oscillator2_multi_control():
+    from multitreegp_tpu.models.environments import HarmonicOscillator2
+
+    _compare_static(HarmonicOscillator2(0.0, 0.0), "Constant", ["tgt0", "tgt1"])
+
+
+def _compare_static_noisy(env, param_mode, n_targets_names, key=0):
+    """obs noise ON: kernel consumes precomputed draws -> EXACT parity with
+    the general path (same deterministic fold_in(key, bitcast(t)) stream)."""
+    from multitreegp_tpu.core.pallas_policy import rollout_policy_pallas
+    from multitreegp_tpu.models.evaluators import (
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+    from multitreegp_tpu.models.evaluators.noise import make_obs_noise_rows
+
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_control_data(
+        env, jr.PRNGKey(key), ts, batch_size=4, param_mode=param_mode
+    )
+    fs = build_function_set(
+        OPS, [[f"y{i}" for i in range(env.n_obs)] + n_targets_names], [env.n_control]
+    )
+    pop = make_population_sampler(fs, 3, 16)(jr.PRNGKey(1), 8)
+    x0, _, targets, _, obs_keys, params = data
+    rows = make_obs_noise_rows(env, ts, params, obs_keys, 2, "rk4")
+    with pltpu.force_tpu_interpret_mode():
+        xs_f, alive_f = rollout_policy_pallas(
+            pop, x0, ts, targets, params, env, fs, substeps=2, obs_noise_rows=rows
+        )
+    evl = StaticPolicyEvaluator(env, fs, substeps=2, interpreter="ladder")
+    xs_l, alive_l = evl._rollout_general(pop, data)
+    af, al = np.asarray(alive_f[-1]), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    m = af & al
+    xs_f, xs_l = np.asarray(xs_f), np.asarray(xs_l)
+    d = np.abs(xs_f[-1][m] - xs_l[-1][m]) / (np.abs(xs_l[-1][m]) + 1e-6)
+    assert d.max() < 1e-4, d.max()
+
+
+def test_obs_noise_stream_harmonic():
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+
+    _compare_static_noisy(HarmonicOscillator(0.0, 0.3), "Different", ["tgt"])
+
+
+def test_obs_noise_stream_acrobot_wrapped():
+    """Acrobot wraps angles AFTER adding noise (obs_tiles_noisy override)."""
+    from multitreegp_tpu.models.environments import Acrobot
+
+    _compare_static_noisy(Acrobot(0.0, 0.3), "Constant", [])
+
+
+def test_dynamic_policy_time_varying():
+    from multitreegp_tpu.core.pallas_policy import rollout_policy_pallas
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+    from multitreegp_tpu.models.evaluators import (
+        DynamicPolicyEvaluator,
+        generate_control_data,
+    )
+
+    env = HarmonicOscillator(0.0, 0.0)
+    state_size = 2
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_control_data(env, jr.PRNGKey(2), ts, batch_size=4, param_mode="Decay")
+    fs = build_function_set(
+        OPS,
+        [
+            [f"y{i}" for i in range(env.n_obs)] + ["a0", "a1", "u", "tgt"],
+            ["a0", "a1", "tgt"],
+        ],
+        [state_size, env.n_control],
+    )
+    pop = make_population_sampler(fs, 3, 16)(jr.PRNGKey(3), 8)
+    x0, _, targets, _, _, params = data
+    with pltpu.force_tpu_interpret_mode():
+        xs_f, alive_f = rollout_policy_pallas(
+            pop, x0, ts, targets, params, env, fs, substeps=2, state_size=state_size
+        )
+    evl = DynamicPolicyEvaluator(
+        env, fs, state_size=state_size, substeps=2, interpreter="ladder"
+    )
+    xs_l, alive_l = evl._rollout_general(pop, data)
+    af, al = np.asarray(alive_f[-1]), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    m = af & al
+    xs_f, xs_l = np.asarray(xs_f), np.asarray(xs_l)
+    d = np.abs(xs_f[-1][m] - xs_l[-1][m]) / (np.abs(xs_l[-1][m]) + 1e-6)
+    assert d.max() < 1e-4, d.max()
