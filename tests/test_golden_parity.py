@@ -1,0 +1,26 @@
+"""Golden parity vs the executing reference (tools/golden_parity.py).
+
+Skipped when the read-only reference checkout is absent. The full-size run
+and the committed report are docs/GOLDEN_PARITY.md; this pins a small config
+in CI so representation compatibility and evaluator equivalence cannot
+silently regress.
+"""
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/MultiTreeGP"),
+    reason="reference checkout not present",
+)
+
+
+def test_golden_parity_small(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+
+    golden_parity.main(
+        population_size=20, batch_size=4, horizon=3.0,
+        report_path=str(tmp_path / "report.md"),
+    )
