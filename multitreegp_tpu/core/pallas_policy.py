@@ -15,9 +15,9 @@ per RK stage, per substep, per save step — tree streams, targets and physics
 parameters resident in VMEM for the whole trajectory.
 
 Engages only when: TPU + concrete uniform grid + ``env.tile_safe_drift`` +
-``max_nodes <= UNROLL_MAX_NODES`` + deterministic (non-SDE) stepping. The
-general scan path covers everything else. Two exogenous-input classes stream
-from HBM through a double-buffered staging tile:
+``max_nodes <= UNROLL_MAX_NODES``. The general scan path covers everything
+else. Three exogenous-input classes stream from HBM through a double-buffered
+staging tile:
 
 * physics parameters — scalars / per-trajectory ``(B,)`` values resident in
   VMEM, or per-save-point ``(B, T)`` series (Switch/Decay modes) linearly
@@ -27,7 +27,11 @@ from HBM through a double-buffered staging tile:
   (key, solver time), so ``evaluators.noise.make_obs_noise_rows``
   materialises the exact per-stage draws up front and the kernel adds them
   via the env's ``obs_tiles_noisy`` — bit-identical noise to the scan path
-  and the post-hoc replay.
+  and the post-hoc replay;
+* process noise (``stochastic=True`` Euler-Maruyama) — same determinism
+  argument: ``make_process_noise_rows`` precomputes the per-substep
+  ``V @ dW`` kicks of ``integrators.integrate_sde`` and the kernel adds them
+  to the latent block after each Euler substep.
 
 The post-hoc observation/control replay and the cost function stay outside
 the kernel (they are O(T) work on saved states, not the O(T x substeps x
@@ -93,7 +97,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         state_size: int, n_targets: int, params_treedef,
                         n_params: int, t_steps: int, substeps: int, dt: float,
                         method: str, streamed: bool = False,
-                        obs_noise: bool = False):
+                        obs_noise: bool = False, process_noise: bool = False):
     stages, final_scale = _RK_TABLES[method]
     n_stages = len(stages)
     eval_tree = _make_tree_eval(fset, n)
@@ -154,6 +158,13 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 return None
             base = n_params + (substep * n_stages + stage) * n_obs
             return [par_scr[t % 2, base + i] for i in range(n_obs)]
+
+        def kick_at(t, substep: int):
+            """(latent,) Euler-Maruyama kick tiles for one substep, or None."""
+            if not process_noise:
+                return None
+            base = n_params + (substeps * n_stages * n_obs if obs_noise else 0)
+            return [par_scr[t % 2, base + substep * latent + i] for i in range(latent)]
 
         def drift(x_tiles, params, noise):
             x_stack = jnp.stack(x_tiles[:latent])
@@ -232,6 +243,15 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                     )
                     acc = [acc[i] + w * k[i] for i in range(d_aug)]
                 x_new = [x[i] + (h * final_scale) * acc[i] for i in range(d_aug)]
+                kick = kick_at(t, _s)
+                if kick is not None:
+                    # Euler-Maruyama: additive precomputed V @ dW on the env
+                    # latent block (hidden policy state carries no noise),
+                    # applied before the liveness check — integrate_sde order
+                    x_new = [
+                        x_new[i] + kick[i] if i < latent else x_new[i]
+                        for i in range(d_aug)
+                    ]
                 alive = alive * ok_mask(x_new)
                 x = [jnp.where(alive > 0.5, x_new[i], x[i]) for i in range(d_aug)]
 
@@ -304,6 +324,7 @@ def rollout_policy_pallas(
     method: str = "rk4",
     state_size: int = 0,
     obs_noise_rows: Array | None = None,
+    process_noise_rows: Array | None = None,
 ) -> Tuple[Array, Array]:
     """Fused closed-loop rollout. trees batched ``(P, m)``; ``x0 (B, latent)``;
     ``targets (B, n_targets)``; params: pytree of per-trajectory scalars
@@ -360,7 +381,10 @@ def rollout_policy_pallas(
     leaves, treedef = jax.tree_util.tree_flatten(params)
     time_varying = any(getattr(v, "ndim", 0) >= 2 for v in leaves) and t_steps > 1
     obs_noise = obs_noise_rows is not None and t_steps > 1
-    streamed = time_varying or obs_noise
+    process_noise = process_noise_rows is not None and t_steps > 1
+    if process_noise and method != "euler":
+        raise ValueError("process noise requires Euler stepping (integrate_sde)")
+    streamed = time_varying or obs_noise or process_noise
     if streamed:
         # per-save-point rows (T, B) per leaf: (B, T) series transpose,
         # constants broadcast — the kernel interpolates between rows in VMEM.
@@ -381,6 +405,10 @@ def rollout_policy_pallas(
             par_src = jnp.concatenate(
                 [par_src, jnp.asarray(obs_noise_rows, jnp.float32)], axis=-1
             )
+        if process_noise:
+            par_src = jnp.concatenate(
+                [par_src, jnp.asarray(process_noise_rows, jnp.float32)], axis=-1
+            )
         par_l = jax.vmap(prep_b)(par_src)  # (T, rows, grid, S, L)
     else:
         leaves_b = [jnp.broadcast_to(jnp.asarray(v, jnp.float32), (b,)) for v in leaves]
@@ -390,6 +418,7 @@ def rollout_policy_pallas(
     kernel = _make_policy_kernel(
         env, fset, n, m, latent, state_size, n_targets, treedef,
         len(leaves), t_steps, substeps, dt, method, streamed, obs_noise,
+        process_noise,
     )
 
     tree_spec = pl.BlockSpec(

@@ -77,7 +77,6 @@ class DynamicPolicyEvaluator:
         if (
             self.interpreter in ("auto", "pallas")
             and self.method in ("euler", "heun", "rk4")
-            and not self.stochastic
             and self.fset.num_variables == n_vars
         ):
             from ...core.pallas_policy import policy_rollout_available
@@ -93,13 +92,23 @@ class DynamicPolicyEvaluator:
         import numpy as np
 
         from ...core.pallas_policy import rollout_policy_pallas
-        from .noise import make_obs_noise_rows
+        from .noise import make_obs_noise_rows, make_process_noise_rows
 
-        x0, ts, targets, _pk, obs_keys, params = data
+        x0, ts, targets, pkeys, obs_keys, params = data
         env, fset = self.env, self.fset
+        sde = self.stochastic and getattr(env, "process_noise", 0.0) > 0.0
+        method = "euler" if sde else self.method
         noise_rows = (
-            make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, self.method)
+            make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, method)
             if env.obs_noise != 0.0
+            else None
+        )
+        kick_rows = (
+            make_process_noise_rows(
+                env, ts, params, pkeys, self.substeps,
+                env.latent_size + self.state_size,
+            )
+            if sde
             else None
         )
 
@@ -108,9 +117,9 @@ class DynamicPolicyEvaluator:
             t = TreeTensors(ops, c1, c2, const)
             return rollout_policy_pallas(
                 t, x0, ts, targets, params, env, fset,
-                substeps=self.substeps, method=self.method,
+                substeps=self.substeps, method=method,
                 state_size=self.state_size,
-                obs_noise_rows=noise_rows,
+                obs_noise_rows=noise_rows, process_noise_rows=kick_rows,
             )
 
         def fwd(ops, c1, c2, const):

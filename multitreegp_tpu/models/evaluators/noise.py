@@ -54,3 +54,53 @@ def make_obs_noise_rows(
     nz = nz.reshape(taus.shape + (b, env.n_obs))
     nz = jnp.moveaxis(nz, 3, 1).reshape(ts.shape[0] - 1, b, -1)
     return jnp.concatenate([nz, jnp.zeros_like(nz[:1])], axis=0)
+
+
+def make_process_noise_rows(
+    env, ts: Array, params, process_keys: Array, substeps: int, d_aug: int
+) -> Array:
+    """(T, B, substeps * latent) Euler-Maruyama kicks ``V(t) @ dW[:latent]``.
+
+    Replicates ``integrators.integrate_sde``'s draw exactly: per substep time
+    ``t`` (the "euler" stage grid), ``dW = normal(fold_in(key, bitcast(t)),
+    (d_aug,)) * sqrt(|dt|)`` — note the draw is over the FULL integrated state
+    dimension (latent + policy hidden state) even though only the latent rows
+    are kicked, so the stream bit-matches the general path.
+    """
+    import jax.random as jr
+
+    from ...core.pallas_policy import stage_times
+    from ..environments.base import bitcast_time
+
+    b = process_keys.shape[0]
+    latent = env.latent_size
+    taus = stage_times(ts, substeps, "euler")[..., 0]  # (T-1, substeps)
+    t0, t1 = ts[:-1], ts[1:]
+    dtv = jnp.broadcast_to(((t1 - t0) / substeps)[:, None], taus.shape)
+    params_b = jax.tree_util.tree_map(
+        lambda v: jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32),
+            (b,) + jnp.asarray(v).shape[1:]
+            if getattr(jnp.asarray(v), "ndim", 0) >= 1
+            else (b,),
+        ),
+        params,
+    )
+    u0 = jnp.zeros((env.n_control,))
+    x0 = jnp.zeros((latent,))
+
+    def one(tau, dt):
+        bits = bitcast_time(tau)
+
+        def per_traj(key, p):
+            p_t = env.params_at(p, ts, tau)
+            w = jr.normal(jr.fold_in(key, bits), (d_aug,)) * jnp.sqrt(jnp.abs(dt))
+            g = env.diffusion(tau, x0, u0, p_t)  # (latent, latent), state-indep
+            return g @ w[:latent]
+
+        return jax.vmap(per_traj)(process_keys, params_b)
+
+    kick = jax.vmap(one)(taus.reshape(-1), dtv.reshape(-1))  # (K, B, latent)
+    kick = kick.reshape(taus.shape + (b, latent))
+    kick = jnp.moveaxis(kick, 2, 1).reshape(ts.shape[0] - 1, b, -1)
+    return jnp.concatenate([kick, jnp.zeros_like(kick[:1])], axis=0)

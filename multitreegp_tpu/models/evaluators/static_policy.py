@@ -69,7 +69,6 @@ class StaticPolicyEvaluator:
         if (
             self.interpreter in ("auto", "pallas")
             and self.method in ("euler", "heun", "rk4")
-            and not self.stochastic
             and self.fset.num_variables == env.n_obs + env.n_targets
         ):
             from ...core.pallas_policy import policy_rollout_available
@@ -85,13 +84,22 @@ class StaticPolicyEvaluator:
         import numpy as np
 
         from ...core.pallas_policy import rollout_policy_pallas
-        from .noise import make_obs_noise_rows
+        from .noise import make_obs_noise_rows, make_process_noise_rows
 
-        x0, ts, targets, _pk, obs_keys, params = data
+        x0, ts, targets, pkeys, obs_keys, params = data
         env, fset = self.env, self.fset
+        # the stochastic general path (integrate_sde) is Euler regardless of
+        # self.method — the fused rollout must match
+        sde = self.stochastic and getattr(env, "process_noise", 0.0) > 0.0
+        method = "euler" if sde else self.method
         noise_rows = (
-            make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, self.method)
+            make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, method)
             if env.obs_noise != 0.0
+            else None
+        )
+        kick_rows = (
+            make_process_noise_rows(env, ts, params, pkeys, self.substeps, env.latent_size)
+            if sde
             else None
         )
 
@@ -100,8 +108,8 @@ class StaticPolicyEvaluator:
             t = TreeTensors(ops, c1, c2, const)
             return rollout_policy_pallas(
                 t, x0, ts, targets, params, env, fset,
-                substeps=self.substeps, method=self.method, state_size=0,
-                obs_noise_rows=noise_rows,
+                substeps=self.substeps, method=method, state_size=0,
+                obs_noise_rows=noise_rows, process_noise_rows=kick_rows,
             )
 
         def fwd(ops, c1, c2, const):

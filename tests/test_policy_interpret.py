@@ -132,6 +132,47 @@ def test_obs_noise_stream_acrobot_wrapped():
     _compare_static_noisy(Acrobot(0.0, 0.3), "Constant", [])
 
 
+def test_process_noise_stream_sde():
+    """stochastic=True (Euler-Maruyama): precomputed V @ dW kicks streamed
+    into the kernel -> EXACT parity with integrate_sde, both noises on."""
+    from multitreegp_tpu.core.pallas_policy import rollout_policy_pallas
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+    from multitreegp_tpu.models.evaluators import (
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+    from multitreegp_tpu.models.evaluators.noise import (
+        make_obs_noise_rows,
+        make_process_noise_rows,
+    )
+
+    env = HarmonicOscillator(0.2, 0.1)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=4,
+                                 param_mode="Different")
+    fs = build_function_set(
+        OPS, [[f"y{i}" for i in range(env.n_obs)] + ["tgt"]], [env.n_control]
+    )
+    pop = make_population_sampler(fs, 3, 16)(jr.PRNGKey(1), 8)
+    x0, _, targets, pkeys, okeys, params = data
+    obs_rows = make_obs_noise_rows(env, ts, params, okeys, 2, "euler")
+    kick_rows = make_process_noise_rows(env, ts, params, pkeys, 2, env.latent_size)
+    with pltpu.force_tpu_interpret_mode():
+        xs_f, alive_f = rollout_policy_pallas(
+            pop, x0, ts, targets, params, env, fs, substeps=2, method="euler",
+            obs_noise_rows=obs_rows, process_noise_rows=kick_rows,
+        )
+    evl = StaticPolicyEvaluator(env, fs, substeps=2, interpreter="ladder",
+                                stochastic=True)
+    xs_l, alive_l = evl._rollout_general(pop, data)
+    af, al = np.asarray(alive_f[-1]), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    m = af & al
+    xs_f, xs_l = np.asarray(xs_f), np.asarray(xs_l)
+    d = np.abs(xs_f[-1][m] - xs_l[-1][m]) / (np.abs(xs_l[-1][m]) + 1e-6)
+    assert d.max() < 1e-4, d.max()
+
+
 def test_dynamic_policy_time_varying():
     from multitreegp_tpu.core.pallas_policy import rollout_policy_pallas
     from multitreegp_tpu.models.environments import HarmonicOscillator
