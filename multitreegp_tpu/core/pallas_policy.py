@@ -62,7 +62,10 @@ from .pallas_rollout import DIVERGENCE_BOUND, _RK_TABLES
 
 def _make_tree_eval(fset: FunctionSet, n: int):
     """Unrolled SSA stack interpreter over (S, 128) tiles; ``data_tiles`` maps
-    variable id -> tile."""
+    variable id -> tile. ``ops_tile``/``c2_tile``/``const_tile`` are
+    row-indexable (lists of SSA tiles OR a ``ref[mi]`` lambda-view) so the
+    same ladder serves the statically-unrolled and the fori-rolled tree
+    loops."""
     var_start = fset.var_start
 
     def eval_tree(ops_tile, c2_tile, const_tile, data_tiles):
@@ -93,6 +96,18 @@ def _make_tree_eval(fset: FunctionSet, n: int):
     return eval_tree
 
 
+class _RefRows:
+    """Row view ``ref[mi, i, 0]`` with a fixed (possibly traced) tree index —
+    lets ``eval_tree`` read tree rows directly from VMEM inside a fori over
+    trees instead of materialising every (tree, row) tile as an SSA value."""
+
+    def __init__(self, ref, mi):
+        self.ref, self.mi = ref, mi
+
+    def __getitem__(self, i):
+        return self.ref[self.mi, i, 0]
+
+
 def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         state_size: int, n_targets: int, params_treedef,
                         n_params: int, t_steps: int, substeps: int, dt: float,
@@ -106,13 +121,26 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
     dynamic = state_size > 0
     n_obs = env.n_obs
 
+    # compile-time control: the traced kernel body is O(substeps x stages x
+    # m x N^2) select ops when fully unrolled — 12+ min Mosaic compiles at
+    # m=2, substeps=4. Rolling the tree loop (dynamic VMEM row indexing) and
+    # the substep loop (state carried in scratch refs — Mosaic cannot
+    # legalize multi-tile tuple fori carries) divides the body by m*substeps.
+    roll_trees = m >= 2
+    roll_sub = substeps >= 2
+
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref,
-               xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
-               par_scr=None, psem=None):
+               xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem, *extra):
         # xs_ref lives in HBM (the whole (T, d_aug, grid, S, L) array): a
         # VMEM-resident trajectory buffer would blow the 16 MB budget at the
         # notebook horizons (T=250). Saved states go out through a
         # double-buffered staging tile + async DMA per save step.
+        ei = 0
+        if streamed:
+            par_scr, psem = extra[0], extra[1]
+            ei = 2
+        if roll_trees:
+            tree_scr = extra[ei]
         gi = pl.program_id(0)
         zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
 
@@ -120,9 +148,32 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             return pltpu.make_async_copy(
                 stage_ref.at[slot], xs_ref.at[t_row, :, gi], sem.at[slot]
             )
-        ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+        if roll_trees:
+            def trees_eval(first, count, data_tiles, out_base):
+                def body(ci, _):
+                    tree_scr[out_base + ci] = eval_tree(
+                        _RefRows(ops_ref, first + ci),
+                        _RefRows(c2_ref, first + ci),
+                        _RefRows(const_ref, first + ci),
+                        data_tiles,
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, count, body, 0)
+                return [tree_scr[out_base + i] for i in range(count)]
+        else:
+            ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+            def trees_eval(first, count, data_tiles, out_base):
+                return [
+                    eval_tree(ops[first + i], c2s[first + i], consts[first + i],
+                              data_tiles)
+                    for i in range(count)
+                ]
+
         tgt = [tgt_ref[i, 0] for i in range(n_targets)]
         if streamed:
             # exogenous per-save-point rows (param values + pre-scaled obs
@@ -178,26 +229,15 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 data_r = (
                     [zero] * n_obs + a + [zero] * n_control + tgt
                 )  # readout bottleneck: zeros for y and u (reference :113)
-                u = [
-                    eval_tree(ops[state_size + ci], c2s[state_size + ci],
-                              consts[state_size + ci], data_r)
-                    for ci in range(n_control)
-                ]
+                u = trees_eval(state_size, n_control, data_r, 0)
             else:
-                data = y_tiles + tgt
-                u = [
-                    eval_tree(ops[ci], c2s[ci], consts[ci], data)
-                    for ci in range(n_control)
-                ]
+                u = trees_eval(0, n_control, y_tiles + tgt, 0)
             u_stack = jnp.stack(u)
             dx = env.drift(jnp.float32(0.0), x_stack, u_stack, params)
             out = [dx[i] for i in range(latent)]
             if dynamic:
                 data_s = y_tiles + a + u + tgt
-                out += [
-                    eval_tree(ops[si], c2s[si], consts[si], data_s)
-                    for si in range(state_size)
-                ]
+                out += trees_eval(0, state_size, data_s, n_control)
             return out
 
         def ok_mask(x_tiles):
@@ -221,39 +261,58 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
 
         h = dt / substeps
 
+        def one_substep(t, s, frac_of):
+            """Advance x_scr/live_scr by one RK(+kick) substep. ``s`` may be a
+            python int (unrolled) or a traced fori index (rolled); ``frac_of``
+            maps a stage offset c to the save-interval fraction (s + c)/substeps
+            in whichever arithmetic matches."""
+            x = [x_scr[i] for i in range(d_aug)]
+            alive = live_scr[...]
+            acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(d_aug)]
+            k = None
+            for _j, (c, w) in enumerate(stages):
+                x_stage = x if k is None else [
+                    x[i] + (h * c) * k[i] for i in range(d_aug)
+                ]
+                k = drift(
+                    x_stage, params_at_step(t, frac_of(c)), noise_at(t, s, _j)
+                )
+                acc = [acc[i] + w * k[i] for i in range(d_aug)]
+            x_new = [x[i] + (h * final_scale) * acc[i] for i in range(d_aug)]
+            kick = kick_at(t, s)
+            if kick is not None:
+                # Euler-Maruyama: additive precomputed V @ dW on the env
+                # latent block (hidden policy state carries no noise),
+                # applied before the liveness check — integrate_sde order
+                x_new = [
+                    x_new[i] + kick[i] if i < latent else x_new[i]
+                    for i in range(d_aug)
+                ]
+            alive = alive * ok_mask(x_new)
+            for i in range(d_aug):
+                x_scr[i] = jnp.where(alive > 0.5, x_new[i], x[i])
+            live_scr[...] = alive
+
         def save_step(t, _):
             # params: rows t and t+1 must be resident. Row t+1's inbound DMA
             # was started at step t-1 (rows 0/1 pre-loop); each row is waited
             # exactly once, at the start of the step that first reads it.
             if streamed:
                 par_copy(t + 1, (t + 1) % 2).wait()
+            if roll_sub:
+                def sub_body(s, _c):
+                    one_substep(
+                        t, s,
+                        lambda c: (s.astype(jnp.float32) + c) * (1.0 / substeps),
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, substeps, sub_body, 0)
+            else:
+                for _s in range(substeps):
+                    one_substep(t, _s, lambda c, _s=_s: (_s + c) / substeps)
             x = [x_scr[i] for i in range(d_aug)]
             alive = live_scr[...]
-            for _s in range(substeps):
-                acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(d_aug)]
-                k = None
-                for _j, (c, w) in enumerate(stages):
-                    x_stage = x if k is None else [
-                        x[i] + (h * c) * k[i] for i in range(d_aug)
-                    ]
-                    k = drift(
-                        x_stage,
-                        params_at_step(t, (_s + c) / substeps),
-                        noise_at(t, _s, _j),
-                    )
-                    acc = [acc[i] + w * k[i] for i in range(d_aug)]
-                x_new = [x[i] + (h * final_scale) * acc[i] for i in range(d_aug)]
-                kick = kick_at(t, _s)
-                if kick is not None:
-                    # Euler-Maruyama: additive precomputed V @ dW on the env
-                    # latent block (hidden policy state carries no noise),
-                    # applied before the liveness check — integrate_sde order
-                    x_new = [
-                        x_new[i] + kick[i] if i < latent else x_new[i]
-                        for i in range(d_aug)
-                    ]
-                alive = alive * ok_mask(x_new)
-                x = [jnp.where(alive > 0.5, x_new[i], x[i]) for i in range(d_aug)]
 
             slot = (t + 1) % 2
             # the slot's previous DMA (row t-1) must land before reuse
@@ -446,6 +505,8 @@ def rollout_policy_pallas(
             pltpu.VMEM((2, par_l.shape[1], SUBLANES, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if m >= 2:  # tree-eval results scratch (kernel roll_trees flag)
+        scratch += [pltpu.VMEM((m, SUBLANES, LANE), jnp.float32)]
     xs, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
