@@ -55,10 +55,8 @@ _RK_TABLES = {
 }
 
 
-def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
-                         substeps: int, dt: float, method: str):
+def _make_sr_tree_eval(fset: FunctionSet, n: int):
     var_start = fset.var_start
-    stages, final_scale = _RK_TABLES[method]
 
     def eval_tree(ops_tile, c2_tile, const_tile, x_tiles):
         """Unrolled stack interpreter on one tree's (N,.) streams; x_tiles is
@@ -86,6 +84,14 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             val = jnp.where(op >= var_start, leaf, val)
             vals.append(val)
         return vals[-1]
+
+    return eval_tree
+
+
+def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
+                         substeps: int, dt: float, method: str):
+    stages, final_scale = _RK_TABLES[method]
+    eval_tree = _make_sr_tree_eval(fset, n)
 
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, xs_ref, alive_ref,
                x_ref, live_ref, stage_ref, sem):
@@ -164,6 +170,98 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     return kernel
 
 
+def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
+                         substeps: int, dt: float, method: str):
+    """Rollout + in-kernel MSE: never materialises the trajectory.
+
+    The SR fitness only needs ``mean_t sum_d (x_t - y_t)^2`` per lane; the
+    rollout kernel's HBM trajectory write (and XLA's read-back + reduce) is
+    pure waste for population evaluation. Here ground-truth rows stream IN
+    through a double-buffered staging tile (the policy kernel's exo-stream
+    pattern) and the squared error accumulates in a VMEM register tile; the
+    only outputs are the per-lane error sum and the liveness mask.
+    """
+    stages, final_scale = _RK_TABLES[method]
+    eval_tree = _make_sr_tree_eval(fset, n)
+
+    def kernel(ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
+               err_ref, alive_ref, x_ref, live_ref, y_scr, ysem):
+        gi = pl.program_id(0)
+        ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+        def y_copy(row, slot):
+            return pltpu.make_async_copy(
+                ys_ref.at[row, :, gi], y_scr.at[slot], ysem.at[slot]
+            )
+
+        def drift(x_tiles):
+            return [
+                eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
+                for mi in range(m)
+            ]
+
+        def ok_mask(x_tiles):
+            good = None
+            for xt in x_tiles:
+                g = jnp.isfinite(xt) & (jnp.abs(xt) < DIVERGENCE_BOUND)
+                good = g if good is None else (good & g)
+            return good.astype(jnp.float32)
+
+        def sq_err(x_tiles, slot):
+            e = jnp.zeros((SUBLANES, LANE), jnp.float32)
+            for mi in range(m):
+                dlt = x_tiles[mi] - y_scr[slot, mi]
+                e = e + dlt * dlt
+            return e
+
+        x = [x0_ref[mi, 0] for mi in range(m)]
+        live_ref[...] = ok_mask(x)
+        for mi in range(m):
+            x_ref[mi] = x[mi]
+        y_copy(0, 0).start()
+        if t_steps > 1:
+            y_copy(1, 1).start()
+        y_copy(0, 0).wait()
+        err_ref[0] = sq_err(x, 0)
+
+        h = dt / substeps
+
+        def save_step(t, _):
+            y_copy(t + 1, (t + 1) % 2).wait()
+            x = [x_ref[mi] for mi in range(m)]
+            alive = live_ref[...]
+
+            for _s in range(substeps):
+                acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
+                k = None
+                for c, w in stages:
+                    x_stage = x if k is None else [
+                        x[mi] + (h * c) * k[mi] for mi in range(m)
+                    ]
+                    k = drift(x_stage)
+                    acc = [acc[mi] + w * k[mi] for mi in range(m)]
+                x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
+                alive = alive * ok_mask(x_new)
+                x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
+
+            err_ref[0] = err_ref[0] + sq_err(x, (t + 1) % 2)
+            for mi in range(m):
+                x_ref[mi] = x[mi]
+            live_ref[...] = alive
+
+            @pl.when(t + 2 <= t_steps - 1)
+            def _():
+                y_copy(t + 2, t % 2).start()
+            return 0
+
+        jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
+        alive_ref[0] = live_ref[...]
+
+    return kernel
+
+
 def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
     # Deep trees (N > UNROLL_MAX_NODES) deliberately use the per-call
     # interpreter kernel instead: a fused variant with dynamic in-kernel row
@@ -231,6 +329,145 @@ def rollout_sr_pallas(
 
     run.defvjp(fwd, bwd)
     return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
+
+
+def rollout_sr_fitness_pallas(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    substeps: int = 1,
+    method: str = "rk4",
+):
+    """Fused rollout + in-kernel MSE: ``(mse (P, B), alive (P, B))``.
+
+    ``ys`` is the ground truth ``(B, T, d)`` (the SR data-tuple layout). The
+    trajectory never touches HBM — ground-truth rows stream in and the
+    squared error accumulates on-core, so population fitness evaluation costs
+    one HBM read of ``ys`` instead of a trajectory write + two reads
+    (measured bandwidth-bound at pop 4096). ``mse`` equals
+    ``mean_t sum_d (x_t - y_t)^2`` with the integrator's frozen-lane
+    semantics; divergence handling (-> max_fitness) stays in the evaluator.
+
+    Differentiable via unfused recompute, like :func:`rollout_sr_pallas`.
+    """
+    import numpy as np
+
+    @jax.custom_vjp
+    def run(ops, c1, c2, const, x0):
+        return _fitness_impl(
+            TreeTensors(ops, c1, c2, const), x0, ts, ys, fset, substeps, method
+        )
+
+    def fwd(ops, c1, c2, const, x0):
+        return run(ops, c1, c2, const, x0), (ops, c1, c2, const, x0)
+
+    def bwd(res, g):
+        ops, c1, c2, const, x0 = res
+        g_mse, _g_alive = g
+
+        def unfused(c, x0_):
+            from ..models.integrators import integrate
+            from .interpreter import evaluate_trees
+
+            t = TreeTensors(ops, c1, c2, c)[:, None]
+
+            def drift(tt, x):
+                return evaluate_trees(t, x[:, :, None, :], fset, impl="pallas")
+
+            xs, _ = integrate(drift, x0_, ts, method=method, substeps=substeps)
+            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
+            return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
+
+        _, vjp = jax.vjp(unfused, const, x0)
+        dconst, dx0 = vjp(g_mse)
+        zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return zero(ops), zero(c1), zero(c2), dconst, dx0
+
+    run.defvjp(fwd, bwd)
+    return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
+
+
+def _fitness_impl(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    substeps: int,
+    method: str,
+):
+    p, b, d = x0.shape
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    t_steps = ts.shape[0]
+    ts_np = jax.device_get(ts) if not isinstance(ts, jax.core.Tracer) else None
+    if ts_np is None:
+        raise ValueError("rollout_sr_fitness_pallas requires a concrete time grid")
+    dt = float(ts_np[1] - ts_np[0])
+
+    sub = SUBLANES
+    lanes = p * b
+    pad = (-lanes) % TILE
+    lp = lanes + pad
+    grid = lp // TILE
+
+    def prep_tree(x, dtype):
+        xt = jnp.moveaxis(x, 0, -1)
+        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
+        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
+
+    ops_l = prep_tree(trees.ops, jnp.int32)
+    c2_l = prep_tree(trees.c2, jnp.int32)
+    const_l = prep_tree(trees.const, jnp.float32)
+
+    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
+    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
+    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+
+    # ground truth rows: (B, T, d) -> (T, d, lanes) broadcast over P. This is
+    # a per-`data` constant — under the evaluator's closure-jit it is
+    # materialised once and only READ per evaluation.
+    y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
+    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, d)).reshape(t_steps, lanes, d)
+    y = jnp.moveaxis(y, -1, 1)  # (T, d, lanes)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
+    ys_l = y.reshape(t_steps, d, grid, sub, LANE)
+
+    kernel = _make_fitness_kernel(fset, n, m, t_steps, substeps, dt, method)
+    tree_spec = pl.BlockSpec(
+        (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    err, alive = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            tree_spec, tree_spec, tree_spec,
+            pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
+        ],
+        out_specs=(lane_out, lane_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((2, d, sub, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(ops_l, c2_l, const_l, x0_l, ys_l)
+
+    mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
+    alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    return mse, alive_last
 
 
 def _rollout_impl(

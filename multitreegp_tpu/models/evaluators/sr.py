@@ -65,13 +65,39 @@ class SREvaluator:
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
         x0s, ts, ys, keys = data
+        p = population.batch_shape[0]
+        b, d = x0s.shape
 
-        xs, alive = self._rollout(population, x0s, ts, keys)  # (T,P,B,d), (T,P,B)
-        # MSE per (P, B): mean over time of squared error summed over dims
-        # (reference fitness_function, SR_evaluator.py:24)
-        err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]  # (T,P,B,d)
-        mse = jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)  # (P,B)
-        diverged = ~alive[-1]
+        # fitness-fused fast path: rollout + MSE in ONE kernel, trajectory
+        # never materialised in HBM (pallas_rollout.rollout_sr_fitness_pallas)
+        mse = None
+        if (
+            self.interpreter in ("auto", "pallas")
+            and self.method in ("euler", "heun", "rk4")
+            and not (self.process_noise > 0.0)
+        ):
+            from ...core.pallas_rollout import (
+                rollout_available,
+                rollout_sr_fitness_pallas,
+            )
+
+            if rollout_available(self.fset, population, d):
+                try:
+                    mse, alive_last = rollout_sr_fitness_pallas(
+                        population, jnp.broadcast_to(x0s[None], (p, b, d)), ts,
+                        ys, self.fset, substeps=self.substeps, method=self.method,
+                    )
+                except ValueError:
+                    mse = None  # traced/non-uniform ts -> general path
+
+        if mse is None:
+            xs, alive = self._rollout(population, x0s, ts, keys)  # (T,P,B,d)
+            # MSE per (P, B): mean over time of squared error summed over dims
+            # (reference fitness_function, SR_evaluator.py:24)
+            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]  # (T,P,B,d)
+            mse = jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)  # (P,B)
+            alive_last = alive[-1]
+        diverged = ~alive_last
         bad = diverged | ~jnp.isfinite(mse)
         per_traj = jnp.where(bad, self.max_fitness, mse)
         fitness = jnp.mean(per_traj, axis=-1)

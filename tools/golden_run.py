@@ -1,0 +1,188 @@
+"""Golden RUN parity: full evolution loops, reference vs multitreegp_tpu.
+
+Drives the REFERENCE's complete GP loop (its initializer, its evolve with
+crossover/mutation/migration, its SR evaluator through the diffrax shim) on
+the SymbolicRegression notebook workload, and the same configuration through
+our stack, over several seeds. The RNG streams are different by construction
+(SURVEY.md §7 "hard parts" 3 — the reference's own stream differs across jax
+versions too), so the comparison is the STATISTICAL one the baseline asks
+for: best-so-far fitness trajectories must decay comparably and reach
+comparable final quality.
+
+Usage: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/golden_run.py
+Appends the summary to docs/GOLDEN_PARITY.md.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+sys.path.insert(0, "/root/reference")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from golden_parity import patch_shard_map  # noqa: E402  (same tools dir)
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def reference_run(data, seeds, generations, population_size, num_islands,
+                  operator_list, dt0):
+    from MultiTreeGP.evaluators.SR_evaluator import Evaluator as RefEvaluator
+    from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    curves = []
+    for seed in seeds:
+        ref_gp = RefGP(
+            num_generations=generations,
+            population_size=population_size,
+            fitness_function=RefEvaluator(dt0=dt0),
+            operator_list=operator_list,
+            variable_list=[["x0", "x1"]],
+            layer_sizes=jnp.array([2]),
+            num_populations=num_islands,
+        )
+        # jax>=0.7 compat: the reference bakes num_trees as a jnp scalar into
+        # its jitted evolve partial; shapes must be hashable now — rebuild
+        # the partial with a python int
+        from functools import partial as _partial
+
+        from MultiTreeGP.genetic_operators.reproduction import evolve_population
+
+        ref_gp.jit_evolve_population = jax.jit(_partial(
+            evolve_population,
+            reproduction_functions=ref_gp.reproduction_functions,
+            elite_size=ref_gp.elite_size,
+            tournament_size=ref_gp.tournament_size,
+            num_trees=int(ref_gp.num_trees),
+            population_size=population_size,
+        ))
+        # jit the eval with data CLOSED OVER so SaveAt.ts stays concrete for
+        # the fixed-step shim (the reference's own jit_eval traces data)
+        eval_fn = jax.jit(
+            lambda arr: ref_gp.vmap_trees(arr[..., 3:], arr[..., :3], data)
+        )
+        key = jr.PRNGKey(seed)
+        key, k_init = jr.split(key)
+        pops = ref_gp.initialize_population(k_init)
+        best = []
+        for _g in range(generations):
+            flat = pops.reshape(-1, *pops.shape[2:])
+            fitness = np.asarray(eval_fn(flat))
+            best.append(float(np.min(fitness)))
+            key, k_ev = jr.split(key)
+            pops = ref_gp.evolve(
+                pops, jnp.asarray(fitness).reshape(num_islands, population_size),
+                k_ev,
+            )
+        curves.append(np.minimum.accumulate(best))
+    return np.asarray(curves)
+
+
+def our_run(data, seeds, generations, population_size, num_islands,
+            operator_list, substeps):
+    from multitreegp_tpu import GeneticProgramming
+    from multitreegp_tpu.models.evaluators import SREvaluator
+
+    curves = []
+    for seed in seeds:
+        gp = GeneticProgramming(
+            num_generations=generations,
+            population_size=population_size,
+            fitness_function=SREvaluator(
+                method="euler", substeps=substeps, interpreter="ladder"
+            ),
+            operator_list=operator_list,
+            variable_list=[["x0", "x1"]],
+            layer_sizes=[2],
+            num_populations=num_islands,
+        )
+        best, _sol, _pop, _fit = gp.fit(jr.PRNGKey(seed), data)
+        curves.append(np.minimum.accumulate(np.asarray(best)))
+    return np.asarray(curves)
+
+
+def main(generations: int = 30, population_size: int = 60, num_islands: int = 2,
+         batch_size: int = 8, horizon: float = 5.0, save_dt: float = 0.2,
+         dt0: float = 0.01, seeds=(0, 1, 2), report_path: str | None = None):
+    patch_shard_map()
+
+    import diffrax
+
+    from MultiTreeGP.environments.SR_environments.vd_pol_oscillator import (
+        VanDerPolOscillator as RefVdP,
+    )
+
+    operator_list = [
+        ("+", lambda x, y: jnp.add(x, y), 2, 0.5),
+        ("-", lambda x, y: jnp.subtract(x, y), 2, 0.1),
+        ("*", lambda x, y: jnp.multiply(x, y), 2, 0.5),
+    ]
+    env = RefVdP(0.0, 0.0)
+    k_init, k_noise = jr.split(jr.PRNGKey(42))
+    x0s = env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+
+    def true_traj(x0):
+        sol = diffrax.diffeqsolve(
+            diffrax.ODETerm(lambda t, x, a: env.drift(t, x, a)),
+            diffrax.Euler(), float(ts[0]), float(ts[-1]), dt0, x0,
+            saveat=diffrax.SaveAt(ts=ts), throw=False,
+        )
+        return sol.ys
+
+    ys = jax.vmap(true_traj)(x0s)
+    data = (x0s, ts, ys, jr.split(k_noise, batch_size))
+
+    ref = reference_run(
+        data, seeds, generations, population_size, num_islands, operator_list, dt0
+    )
+    ours = our_run(
+        data, seeds, generations, population_size, num_islands, operator_list,
+        substeps=int(round(save_dt / dt0)),
+    )
+
+    ref_med = np.median(ref, axis=0)
+    our_med = np.median(ours, axis=0)
+    gens_shown = sorted(set([0, 4, 9, 19, generations - 1]))
+    lines = [
+        "",
+        "## Golden RUN parity: full evolution loops (VdP SR, "
+        f"pop {population_size} x {num_islands} islands, {generations} gens, "
+        f"{len(seeds)} seeds)",
+        "",
+        "| generation | reference median best | ours median best |",
+        "|---|---|---|",
+    ] + [
+        f"| {g + 1} | {ref_med[g]:.4f} | {our_med[g]:.4f} |" for g in gens_shown
+    ] + [
+        "",
+        f"- final best per seed — reference: {[f'{v:.3f}' for v in ref[:, -1]]},"
+        f" ours: {[f'{v:.3f}' for v in ours[:, -1]]}",
+        "- different PRNG streams by construction; the criterion is comparable",
+        "  decay and comparable final quality (BASELINE.json north star).",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    out = report_path or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "GOLDEN_PARITY.md"
+    )
+    with open(out, "a") as f:
+        f.write(report + "\n")
+
+    # both stacks must improve substantially and land in the same quality class
+    assert ref_med[-1] < 0.5 * ref_med[0]
+    assert our_med[-1] < 0.5 * our_med[0]
+    assert our_med[-1] <= max(2.0 * ref_med[-1], ref_med[-1] + 0.5)
+    print("GOLDEN RUN PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
