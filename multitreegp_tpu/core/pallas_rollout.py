@@ -171,7 +171,8 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
 
 def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
-                         substeps: int, dt: float, method: str):
+                         substeps: int, dt: float, method: str,
+                         process_noise: bool = False):
     """Rollout + in-kernel MSE: never materialises the trajectory.
 
     The SR fitness only needs ``mean_t sum_d (x_t - y_t)^2`` per lane; the
@@ -180,6 +181,11 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     through a double-buffered staging tile (the policy kernel's exo-stream
     pattern) and the squared error accumulates in a VMEM register tile; the
     only outputs are the per-lane error sum and the liveness mask.
+
+    With ``process_noise`` the streamed row ``t`` additionally carries the
+    interval's Euler-Maruyama kicks (``substeps * d`` values, exact
+    ``integrate_sde`` draws precomputed by the evaluator), added to the state
+    after each Euler substep — the SDE variant of the SR evaluator.
     """
     stages, final_scale = _RK_TABLES[method]
     eval_tree = _make_sr_tree_eval(fset, n)
@@ -243,6 +249,12 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                     k = drift(x_stage)
                     acc = [acc[mi] + w * k[mi] for mi in range(m)]
                 x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
+                if process_noise:
+                    # kick rows of interval t live in row t (slot t % 2)
+                    x_new = [
+                        x_new[mi] + y_scr[t % 2, m + _s * m + mi]
+                        for mi in range(m)
+                    ]
                 alive = alive * ok_mask(x_new)
                 x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
 
@@ -339,6 +351,8 @@ def rollout_sr_fitness_pallas(
     fset: FunctionSet,
     substeps: int = 1,
     method: str = "rk4",
+    process_noise_rows: Array | None = None,
+    unfused_mse=None,
 ):
     """Fused rollout + in-kernel MSE: ``(mse (P, B), alive (P, B))``.
 
@@ -350,6 +364,11 @@ def rollout_sr_fitness_pallas(
     ``mean_t sum_d (x_t - y_t)^2`` with the integrator's frozen-lane
     semantics; divergence handling (-> max_fitness) stays in the evaluator.
 
+    With ``process_noise_rows`` ((T, B, substeps*d) exact ``integrate_sde``
+    kicks; Euler stepping) the rollout is the SDE variant; the caller then
+    also supplies ``unfused_mse(ops, c1, c2, const, x0) -> mse`` for the
+    recompute VJP (the default recompute is the pure-ODE path).
+
     Differentiable via unfused recompute, like :func:`rollout_sr_pallas`.
     """
     import numpy as np
@@ -357,7 +376,8 @@ def rollout_sr_fitness_pallas(
     @jax.custom_vjp
     def run(ops, c1, c2, const, x0):
         return _fitness_impl(
-            TreeTensors(ops, c1, c2, const), x0, ts, ys, fset, substeps, method
+            TreeTensors(ops, c1, c2, const), x0, ts, ys, fset, substeps, method,
+            process_noise_rows,
         )
 
     def fwd(ops, c1, c2, const, x0):
@@ -367,7 +387,7 @@ def rollout_sr_fitness_pallas(
         ops, c1, c2, const, x0 = res
         g_mse, _g_alive = g
 
-        def unfused(c, x0_):
+        def default_unfused(c, x0_):
             from ..models.integrators import integrate
             from .interpreter import evaluate_trees
 
@@ -380,6 +400,11 @@ def rollout_sr_fitness_pallas(
             err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
             return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
 
+        unfused = (
+            (lambda c, x0_: unfused_mse(ops, c1, c2, c, x0_))
+            if unfused_mse is not None
+            else default_unfused
+        )
         _, vjp = jax.vjp(unfused, const, x0)
         dconst, dx0 = vjp(g_mse)
         zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -397,6 +422,7 @@ def _fitness_impl(
     fset: FunctionSet,
     substeps: int,
     method: str,
+    process_noise_rows: Array | None = None,
 ):
     p, b, d = x0.shape
     m = trees.batch_shape[-1]
@@ -431,12 +457,23 @@ def _fitness_impl(
     # a per-`data` constant — under the evaluator's closure-jit it is
     # materialised once and only READ per evaluation.
     y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
-    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, d)).reshape(t_steps, lanes, d)
-    y = jnp.moveaxis(y, -1, 1)  # (T, d, lanes)
+    if process_noise_rows is not None:
+        # row t = [y_t (d) | interval-t kicks (substeps*d)]
+        y = jnp.concatenate(
+            [y, jnp.asarray(process_noise_rows, jnp.float32)], axis=-1
+        )
+    rows = y.shape[-1]
+    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, rows)).reshape(
+        t_steps, lanes, rows
+    )
+    y = jnp.moveaxis(y, -1, 1)  # (T, rows, lanes)
     y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
-    ys_l = y.reshape(t_steps, d, grid, sub, LANE)
+    ys_l = y.reshape(t_steps, rows, grid, sub, LANE)
 
-    kernel = _make_fitness_kernel(fset, n, m, t_steps, substeps, dt, method)
+    kernel = _make_fitness_kernel(
+        fset, n, m, t_steps, substeps, dt, method,
+        process_noise=process_noise_rows is not None,
+    )
     tree_spec = pl.BlockSpec(
         (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -460,7 +497,7 @@ def _fitness_impl(
         scratch_shapes=[
             pltpu.VMEM((m, sub, LANE), jnp.float32),
             pltpu.VMEM((sub, LANE), jnp.float32),
-            pltpu.VMEM((2, d, sub, LANE), jnp.float32),
+            pltpu.VMEM((2, rows, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(ops_l, c2_l, const_l, x0_l, ys_l)

@@ -104,3 +104,37 @@ def make_process_noise_rows(
     kick = kick.reshape(taus.shape + (b, latent))
     kick = jnp.moveaxis(kick, 2, 1).reshape(ts.shape[0] - 1, b, -1)
     return jnp.concatenate([kick, jnp.zeros_like(kick[:1])], axis=0)
+
+
+def make_sr_kick_rows(
+    process_noise: float, ts: Array, process_keys: Array, substeps: int, d: int
+) -> Array:
+    """(T, B, substeps * d) SR Euler-Maruyama kicks, diagonal diffusion.
+
+    The SR evaluator's SDE diffusion is ``full_like(x, process_noise)``
+    (elementwise), so the exact ``integrate_sde`` kick is
+    ``process_noise * normal(fold_in(key, bitcast(t)), (d,)) * sqrt(|dt|)``
+    per substep time — precomputed here for the fitness-fused kernel."""
+    import jax.random as jr
+
+    from ...core.pallas_policy import stage_times
+    from ..environments.base import bitcast_time
+
+    b = process_keys.shape[0]
+    taus = stage_times(ts, substeps, "euler")[..., 0]  # (T-1, substeps)
+    t0, t1 = ts[:-1], ts[1:]
+    dtv = jnp.broadcast_to(((t1 - t0) / substeps)[:, None], taus.shape)
+
+    def one(tau, dt):
+        bits = bitcast_time(tau)
+
+        def per_traj(key):
+            w = jr.normal(jr.fold_in(key, bits), (d,)) * jnp.sqrt(jnp.abs(dt))
+            return process_noise * w
+
+        return jax.vmap(per_traj)(process_keys)
+
+    kick = jax.vmap(one)(taus.reshape(-1), dtv.reshape(-1))  # (K, B, d)
+    kick = kick.reshape(taus.shape + (b, d))
+    kick = jnp.moveaxis(kick, 2, 1).reshape(ts.shape[0] - 1, b, -1)
+    return jnp.concatenate([kick, jnp.zeros_like(kick[:1])], axis=0)

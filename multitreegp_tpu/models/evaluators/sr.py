@@ -71,10 +71,9 @@ class SREvaluator:
         # fitness-fused fast path: rollout + MSE in ONE kernel, trajectory
         # never materialised in HBM (pallas_rollout.rollout_sr_fitness_pallas)
         mse = None
-        if (
-            self.interpreter in ("auto", "pallas")
-            and self.method in ("euler", "heun", "rk4")
-            and not (self.process_noise > 0.0)
+        sde = self.process_noise > 0.0 and keys is not None
+        if self.interpreter in ("auto", "pallas") and (
+            sde or self.method in ("euler", "heun", "rk4")
         ):
             from ...core.pallas_rollout import (
                 rollout_available,
@@ -83,10 +82,49 @@ class SREvaluator:
 
             if rollout_available(self.fset, population, d):
                 try:
-                    mse, alive_last = rollout_sr_fitness_pallas(
-                        population, jnp.broadcast_to(x0s[None], (p, b, d)), ts,
-                        ys, self.fset, substeps=self.substeps, method=self.method,
-                    )
+                    if sde:
+                        # SDE variant: exact integrate_sde kicks streamed;
+                        # Euler stepping as the general path forces
+                        from ...core.interpreter import evaluate_trees
+                        from ...core.trees import TreeTensors as TT
+                        from ..integrators import integrate_sde
+                        from .noise import make_sr_kick_rows
+
+                        kicks = make_sr_kick_rows(
+                            self.process_noise, ts, keys, self.substeps, d
+                        )
+
+                        def unfused_mse(ops, c1, c2, c, x0_):
+                            t = TT(ops, c1, c2, c)[:, None]
+
+                            def drift(tt, x):
+                                return evaluate_trees(
+                                    t, x[:, :, None, :], self.fset, impl="pallas"
+                                )
+
+                            xs, _ = integrate_sde(
+                                drift,
+                                lambda tt, x: jnp.full_like(x, self.process_noise),
+                                x0_, ts, keys, method="euler",
+                                substeps=self.substeps,
+                            )
+                            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None]
+                            return jnp.mean(
+                                jnp.sum(jnp.square(err), axis=-1), axis=0
+                            )
+
+                        mse, alive_last = rollout_sr_fitness_pallas(
+                            population, jnp.broadcast_to(x0s[None], (p, b, d)),
+                            ts, ys, self.fset, substeps=self.substeps,
+                            method="euler", process_noise_rows=kicks,
+                            unfused_mse=unfused_mse,
+                        )
+                    else:
+                        mse, alive_last = rollout_sr_fitness_pallas(
+                            population, jnp.broadcast_to(x0s[None], (p, b, d)),
+                            ts, ys, self.fset, substeps=self.substeps,
+                            method=self.method,
+                        )
                 except ValueError:
                     mse = None  # traced/non-uniform ts -> general path
 

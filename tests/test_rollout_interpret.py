@@ -53,3 +53,41 @@ def test_fitness_kernel_matches_general():
     m = af & al
     dd = np.abs(np.asarray(mse)[m] - mse_ref[m]) / (np.abs(mse_ref[m]) + 1e-9)
     assert dd.max() < 1e-5, dd.max()
+
+
+def test_fitness_kernel_sde_matches_integrate_sde():
+    """SR SDE variant: exact integrate_sde V dW kicks streamed with the
+    ground truth -> parity with the general Euler-Maruyama path."""
+    from multitreegp_tpu.core.pallas_rollout import rollout_sr_fitness_pallas
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.models.evaluators.noise import make_sr_kick_rows
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)], [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    x0s, _, ys, keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(1), 8)
+    p, b, d = 8, 4, 2
+    pn = 0.15
+    kicks = make_sr_kick_rows(pn, ts, keys, 2, d)
+    with pltpu.force_tpu_interpret_mode():
+        mse, alive = rollout_sr_fitness_pallas(
+            pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
+            substeps=2, method="euler", process_noise_rows=kicks,
+        )
+    ev = SREvaluator(fset, substeps=2, interpreter="ladder", process_noise=pn)
+    xs, alive_l = ev._rollout(pop, x0s, ts, keys)
+    err = np.asarray(xs) - np.asarray(jnp.transpose(ys, (1, 0, 2)))[:, None]
+    mse_ref = np.mean(np.sum(err**2, axis=-1), axis=0)
+    af, al = np.asarray(alive), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    m = af & al
+    dd = np.abs(np.asarray(mse)[m] - mse_ref[m]) / (np.abs(mse_ref[m]) + 1e-9)
+    assert dd.max() < 1e-5, dd.max()
