@@ -63,20 +63,26 @@ def main(
     # launch latency at this scale. The const nudge (+1e-30, below f32
     # resolution of any live constant — bit-identical result) chains the
     # iterations so XLA cannot collapse them.
-    chain_k = 10
+    # the ladder/pallas diagnostic configs keep single-eval timing — their
+    # scan-wrapped compile is minutes for no insight
+    chain_k = 10 if interpreter == "auto" else 1
 
-    def chained(const, _):
-        fit = evaluator.evaluate_population(pop._replace(const=const), data)
-        return const + 1e-30 * jnp.min(fit), fit
+    if chain_k > 1:
+        def chained(const, _):
+            fit = evaluator.evaluate_population(pop._replace(const=const), data)
+            return const + 1e-30 * jnp.min(fit), fit
 
-    run_k = jax.jit(
-        lambda c: jax.lax.scan(chained, c, None, length=chain_k)[1]
-    )
-    jax.block_until_ready(run_k(pop.const))  # compile
+        run_k = jax.jit(
+            lambda c: jax.lax.scan(chained, c, None, length=chain_k)[1]
+        )
+        jax.block_until_ready(run_k(pop.const))  # compile
+        timed = lambda: jax.block_until_ready(run_k(pop.const))
+    else:
+        timed = lambda: jax.block_until_ready(eval_fn(pop))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_k(pop.const))
+        timed()
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
 
