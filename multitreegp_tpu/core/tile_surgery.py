@@ -30,7 +30,7 @@ Behavioural spec mirrored from the reference (file:line cited per function):
 """
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Sequence, Tuple
+from typing import Callable, List, NamedTuple, Tuple
 
 import numpy as np
 import jax

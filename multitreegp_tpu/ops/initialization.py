@@ -26,7 +26,7 @@ work and its ``prune_tree`` is a second sequential ``fori_loop``
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -25,7 +25,6 @@ code per-device inside ``shard_map`` with sharded hyperparameter rows.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
