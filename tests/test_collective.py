@@ -76,3 +76,56 @@ def test_global_best_matches_argmin():
     np.testing.assert_allclose(
         float(best_cand.const[0, 0]), float(np.argmin(flat)), rtol=1e-6
     )
+
+
+def test_fused_collective_evolve_interpret_kernels():
+    """The TRUE multi-chip fused path: the reproduction kernel (interpret
+    mode) launches per-device inside shard_map over all 8 faked devices, with
+    ring migration crossing boundaries via ppermute — the composition a
+    single real chip cannot exercise."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.core.trees import validate_host
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.ops.pallas_evolve import make_reproduce_islands
+    from multitreegp_tpu.ops.reproduction import island_hyperparams
+    from multitreegp_tpu.parallel.collective import (
+        make_evolve_populations_collective_fused,
+    )
+    from multitreegp_tpu.parallel.mesh import make_mesh
+
+    if not hasattr(pltpu, "force_tpu_interpret_mode"):
+        import pytest
+
+        pytest.skip("needs pallas TPU interpret mode")
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)], [["x0", "x1"]], [2],
+    )
+    mesh = make_mesh(8)
+    islands, pop_size, elite = 8, 32, 4
+    tp, rtp, rp = island_hyperparams(
+        islands, 5, (0.6, 0.9), (1.0, 0.5), (0.9, 0.4), (0.1, 0.5), (0.0, 0.1)
+    )
+    step = make_evolve_populations_collective_fused(
+        make_reproduce_islands(fset, pop_size, elite, 5, 16, 3),
+        mesh, 3, 4, rtp, rp, tp,
+    )
+    pops = jax.vmap(lambda k: make_population_sampler(fset, 3, 16)(k, pop_size))(
+        jr.split(jr.PRNGKey(0), islands)
+    )
+    fitness = jr.uniform(jr.PRNGKey(1), (islands, pop_size))
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.block_until_ready(step(pops, fitness, jr.PRNGKey(2), jnp.int32(0)))
+        out2 = jax.block_until_ready(step(pops, fitness, jr.PRNGKey(3), jnp.int32(2)))
+    validate_host(out, fset.slots)
+    validate_host(out2, fset.slots)
+    order = np.argsort(np.asarray(fitness), axis=1)
+    for i in range(islands):
+        np.testing.assert_array_equal(
+            np.asarray(out.ops[i, :elite]),
+            np.asarray(pops.ops[i, order[i, :elite]]),
+        )
