@@ -12,6 +12,7 @@ vs_baseline is measured against the 1e9 node-evals/sec/chip target.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -19,6 +20,38 @@ import jax.numpy as jnp
 import jax.random as jr
 
 TARGET = 1.0e9  # node-evals/sec/chip north star (BASELINE.json)
+
+
+def wait_for_backend(budget_s: float = 240.0, probe_interval_s: float = 20.0) -> bool:
+    """Bounded retry/backoff on backend init before any real work.
+
+    The axon tunnel can be transiently UNAVAILABLE (a killed computation wedges
+    the chip for ~60-90 s); a single failed first device op would abort the
+    whole bench (this is exactly what produced the rc=1 BENCH_r01 capture).
+    Retry a trivial matmul until it answers or the budget runs out.  Returns
+    True on success; on failure the caller proceeds anyway (the real workload
+    may still succeed if the backend recovers mid-run).
+    """
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            x = jnp.ones((128, 128))
+            jax.block_until_ready(x @ x)
+            if attempt > 1:
+                print(f"# backend up after {time.monotonic() - t0:.0f}s "
+                      f"({attempt} attempts)", file=sys.stderr)
+            return True
+        except Exception as exc:  # noqa: BLE001 - backend init raises RuntimeError
+            elapsed = time.monotonic() - t0
+            print(f"# backend probe {attempt} failed after {elapsed:.0f}s: "
+                  f"{type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
+            if elapsed > budget_s:
+                print("# backend probe budget exhausted; attempting bench anyway",
+                      file=sys.stderr)
+                return False
+            time.sleep(probe_interval_s)
 
 
 def main(
@@ -233,8 +266,7 @@ CONFIGS = {
 }
 
 if __name__ == "__main__":
-    import sys
-
+    wait_for_backend()
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
     if cfg == "policy":
         main_policy()

@@ -9,7 +9,10 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The env var JAX_PLATFORMS is overridden by the environment's TPU plugin;
-# the config update below is authoritative.
+# the config update below is authoritative.  Set MTGP_TPU_TESTS=1 to keep the
+# real TPU backend so tests/test_pallas_tpu.py runs on hardware:
+#   MTGP_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("MTGP_TPU_TESTS", "") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -4,8 +4,8 @@ by the verify flow (.claude/skills/verify/SKILL.md) and by bench.py.
 
 NOTE: tests/conftest.py forces the CPU platform for the mesh tests, so these
 are expected to auto-skip under plain pytest. Run them on hardware with
-``JAX_PLATFORMS='' python -m pytest tests/test_pallas_tpu.py --no-header``
-after commenting the conftest override, or via the verify scripts.
+``MTGP_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q`` — the env
+var tells conftest to keep the real TPU backend.
 """
 import jax
 import jax.numpy as jnp
