@@ -385,5 +385,27 @@ def evaluate_trees_pallas(trees: TreeTensors, data: Array, fset: FunctionSet) ->
     return run(trees.ops, trees.c1, trees.c2, trees.const, data)
 
 
+def interpret_mode_active() -> bool:
+    """True inside ``pltpu.force_tpu_interpret_mode()`` — the TPU kernels run
+    on CPU with simulated VMEM/DMA, so every fused path can engage (used by
+    the multi-chip dryrun and the CI kernel tests)."""
+    if not _HAS_PALLAS:
+        return False
+    try:
+        from jax._src import config as _jax_config
+
+        v = _jax_config.pallas_tpu_interpret_mode_context_manager.get_local()
+        return type(v).__name__ == "InterpretParams"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def tpu_kernels_available() -> bool:
+    """Pallas TPU kernels can run: real TPU backend, or interpret mode."""
+    return _HAS_PALLAS and (
+        jax.default_backend() == "tpu" or interpret_mode_active()
+    )
+
+
 def pallas_available() -> bool:
-    return _HAS_PALLAS and jax.default_backend() == "tpu"
+    return tpu_kernels_available()

@@ -56,8 +56,14 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-from .pallas_interpreter import LANE, SUBLANES, TILE, UNROLL_MAX_NODES
-from .pallas_rollout import DIVERGENCE_BOUND, _RK_TABLES
+from .pallas_interpreter import (
+    LANE,
+    SUBLANES,
+    TILE,
+    UNROLL_MAX_NODES,
+    tpu_kernels_available,
+)
+from .pallas_rollout import DIVERGENCE_BOUND, _RefRows, _RK_TABLES
 
 
 def _make_tree_eval(fset: FunctionSet, n: int):
@@ -94,18 +100,6 @@ def _make_tree_eval(fset: FunctionSet, n: int):
         return vals[-1]
 
     return eval_tree
-
-
-class _RefRows:
-    """Row view ``ref[mi, i, 0]`` with a fixed (possibly traced) tree index —
-    lets ``eval_tree`` read tree rows directly from VMEM inside a fori over
-    trees instead of materialising every (tree, row) tile as an SSA value."""
-
-    def __init__(self, ref, mi):
-        self.ref, self.mi = ref, mi
-
-    def __getitem__(self, i):
-        return self.ref[self.mi, i, 0]
 
 
 def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
@@ -345,7 +339,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
 
 def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
                              params) -> bool:
-    if not (_HAS_PALLAS and jax.default_backend() == "tpu"):
+    if not tpu_kernels_available():
         return False
     if not getattr(env, "tile_safe_drift", False):
         return False

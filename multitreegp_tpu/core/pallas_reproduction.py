@@ -147,4 +147,6 @@ def reproduce_pairs_pallas(
 
 
 def reproduction_kernel_available(max_nodes: int) -> bool:
-    return _HAS_PALLAS and jax.default_backend() == "tpu" and max_nodes <= MAX_KERNEL_NODES
+    from .pallas_interpreter import tpu_kernels_available
+
+    return tpu_kernels_available() and max_nodes <= MAX_KERNEL_NODES

@@ -41,7 +41,13 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-from .pallas_interpreter import LANE, SUBLANES, TILE, UNROLL_MAX_NODES
+from .pallas_interpreter import (
+    LANE,
+    SUBLANES,
+    TILE,
+    UNROLL_MAX_NODES,
+    tpu_kernels_available,
+)
 
 # |x| beyond this is divergence even while finite (matches integrators.py).
 DIVERGENCE_BOUND = 1e8
@@ -55,12 +61,26 @@ _RK_TABLES = {
 }
 
 
+class _RefRows:
+    """Row view ``ref[mi, i, 0]`` with a fixed (possibly traced) tree index —
+    lets the tree-eval ladder read rows directly from VMEM inside a fori over
+    trees instead of materialising every (tree, row) tile as an SSA value."""
+
+    def __init__(self, ref, mi):
+        self.ref, self.mi = ref, mi
+
+    def __getitem__(self, i):
+        return self.ref[self.mi, i, 0]
+
+
 def _make_sr_tree_eval(fset: FunctionSet, n: int):
     var_start = fset.var_start
 
     def eval_tree(ops_tile, c2_tile, const_tile, x_tiles):
         """Unrolled stack interpreter on one tree's (N,.) streams; x_tiles is
-        the list of per-variable (S, 128) register tiles."""
+        the list of per-variable (S, 128) register tiles. Row sources are
+        indexable (SSA lists or a ``_RefRows`` VMEM view) so the ladder serves
+        both the unrolled and the fori-rolled tree loops."""
         zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
         one = jnp.ones((SUBLANES, LANE), jnp.float32)
         vals = []
@@ -92,28 +112,50 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                          substeps: int, dt: float, method: str):
     stages, final_scale = _RK_TABLES[method]
     eval_tree = _make_sr_tree_eval(fset, n)
+    # compile-time control (the policy kernel's fori-rolling, 29d9964): the
+    # fully-unrolled body is O(substeps x stages x m x N^2) select ops —
+    # ~90 s Mosaic compiles at the default config, ~6 min for SDE substeps.
+    # Rolling the tree loop (dynamic VMEM row indexing) and the substep loop
+    # (state carried in scratch refs — Mosaic cannot legalize multi-tile
+    # tuple fori carries) divides the traced body by m*substeps.
+    roll_trees = m >= 2
+    roll_sub = substeps >= 2
 
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, xs_ref, alive_ref,
-               x_ref, live_ref, stage_ref, sem):
+               x_ref, live_ref, stage_ref, sem, *extra):
         # ops/c2/const: (m, n, 1, S, 128); x0: (d, 1, S, 128)
         # xs lives in HBM (full (t_steps, m, grid, S, 128)): a VMEM-resident
         # trajectory would blow the budget at long horizons; saved rows go
         # out through a double-buffered staging tile + async DMA.
         gi = pl.program_id(0)
-        ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        if roll_trees:
+            tree_scr = extra[0]
+
+            def drift(x_tiles):
+                def body(mi, _):
+                    tree_scr[mi] = eval_tree(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi), x_tiles,
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        else:
+            ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+            def drift(x_tiles):
+                return [
+                    eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
+                    for mi in range(m)
+                ]
 
         def copy_out(t_row, slot):
             return pltpu.make_async_copy(
                 stage_ref.at[slot], xs_ref.at[t_row, :, gi], sem.at[slot]
             )
-
-        def drift(x_tiles):
-            return [
-                eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
-                for mi in range(m)
-            ]
 
         def ok_mask(x_tiles):
             good = None
@@ -131,22 +173,36 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
         h = dt / substeps
 
-        def save_step(t, _):
+        def one_substep():
+            """Advance x_ref/live_ref by one RK substep (state in scratch so
+            the substep loop can roll into a fori without tuple carries)."""
             x = [x_ref[mi] for mi in range(m)]
             alive = live_ref[...]
+            acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
+            k = None
+            for c, w in stages:
+                x_stage = x if k is None else [
+                    x[mi] + (h * c) * k[mi] for mi in range(m)
+                ]
+                k = drift(x_stage)
+                acc = [acc[mi] + w * k[mi] for mi in range(m)]
+            x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
+            alive = alive * ok_mask(x_new)
+            for mi in range(m):
+                x_ref[mi] = jnp.where(alive > 0.5, x_new[mi], x[mi])
+            live_ref[...] = alive
 
-            for _s in range(substeps):
-                acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
-                k = None
-                for c, w in stages:
-                    x_stage = x if k is None else [
-                        x[mi] + (h * c) * k[mi] for mi in range(m)
-                    ]
-                    k = drift(x_stage)
-                    acc = [acc[mi] + w * k[mi] for mi in range(m)]
-                x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
-                alive = alive * ok_mask(x_new)
-                x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
+        def save_step(t, _):
+            if roll_sub:
+                def sub_body(s, _c):
+                    one_substep()
+                    return 0
+
+                jax.lax.fori_loop(0, substeps, sub_body, 0)
+            else:
+                for _s in range(substeps):
+                    one_substep()
+            x = [x_ref[mi] for mi in range(m)]
 
             slot = (t + 1) % 2
 
@@ -156,9 +212,7 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
             for mi in range(m):
                 stage_ref[slot, mi] = x[mi]
-                x_ref[mi] = x[mi]
             copy_out(t + 1, slot).start()
-            live_ref[...] = alive
             return 0
 
         jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
@@ -167,7 +221,7 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             copy_out(t_steps - 2, (t_steps - 2) % 2).wait()
         alive_ref[0] = live_ref[...]
 
-    return kernel
+    return kernel, roll_trees
 
 
 def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
@@ -189,24 +243,41 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     """
     stages, final_scale = _RK_TABLES[method]
     eval_tree = _make_sr_tree_eval(fset, n)
+    # same compile-time control as _make_rollout_kernel (policy fori-rolling)
+    roll_trees = m >= 2
+    roll_sub = substeps >= 2
 
     def kernel(ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
-               err_ref, alive_ref, x_ref, live_ref, y_scr, ysem):
+               err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra):
         gi = pl.program_id(0)
-        ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
-        consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+        if roll_trees:
+            tree_scr = extra[0]
+
+            def drift(x_tiles):
+                def body(mi, _):
+                    tree_scr[mi] = eval_tree(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi), x_tiles,
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        else:
+            ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+            def drift(x_tiles):
+                return [
+                    eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
+                    for mi in range(m)
+                ]
 
         def y_copy(row, slot):
             return pltpu.make_async_copy(
                 ys_ref.at[row, :, gi], y_scr.at[slot], ysem.at[slot]
             )
-
-        def drift(x_tiles):
-            return [
-                eval_tree(ops[mi], c2s[mi], consts[mi], x_tiles)
-                for mi in range(m)
-            ]
 
         def ok_mask(x_tiles):
             good = None
@@ -234,34 +305,46 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
         h = dt / substeps
 
-        def save_step(t, _):
-            y_copy(t + 1, (t + 1) % 2).wait()
+        def one_substep(t, s):
+            """Advance x_ref/live_ref by one RK(+kick) substep; ``s`` may be a
+            python int (unrolled) or a traced fori index (rolled — the kick
+            row offset is dynamic VMEM indexing either way)."""
             x = [x_ref[mi] for mi in range(m)]
             alive = live_ref[...]
+            acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
+            k = None
+            for c, w in stages:
+                x_stage = x if k is None else [
+                    x[mi] + (h * c) * k[mi] for mi in range(m)
+                ]
+                k = drift(x_stage)
+                acc = [acc[mi] + w * k[mi] for mi in range(m)]
+            x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
+            if process_noise:
+                # kick rows of interval t live in row t (slot t % 2)
+                x_new = [
+                    x_new[mi] + y_scr[t % 2, m + s * m + mi]
+                    for mi in range(m)
+                ]
+            alive = alive * ok_mask(x_new)
+            for mi in range(m):
+                x_ref[mi] = jnp.where(alive > 0.5, x_new[mi], x[mi])
+            live_ref[...] = alive
 
-            for _s in range(substeps):
-                acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
-                k = None
-                for c, w in stages:
-                    x_stage = x if k is None else [
-                        x[mi] + (h * c) * k[mi] for mi in range(m)
-                    ]
-                    k = drift(x_stage)
-                    acc = [acc[mi] + w * k[mi] for mi in range(m)]
-                x_new = [x[mi] + (h * final_scale) * acc[mi] for mi in range(m)]
-                if process_noise:
-                    # kick rows of interval t live in row t (slot t % 2)
-                    x_new = [
-                        x_new[mi] + y_scr[t % 2, m + _s * m + mi]
-                        for mi in range(m)
-                    ]
-                alive = alive * ok_mask(x_new)
-                x = [jnp.where(alive > 0.5, x_new[mi], x[mi]) for mi in range(m)]
+        def save_step(t, _):
+            y_copy(t + 1, (t + 1) % 2).wait()
+            if roll_sub:
+                def sub_body(s, _c):
+                    one_substep(t, s)
+                    return 0
+
+                jax.lax.fori_loop(0, substeps, sub_body, 0)
+            else:
+                for _s in range(substeps):
+                    one_substep(t, _s)
+            x = [x_ref[mi] for mi in range(m)]
 
             err_ref[0] = err_ref[0] + sq_err(x, (t + 1) % 2)
-            for mi in range(m):
-                x_ref[mi] = x[mi]
-            live_ref[...] = alive
 
             @pl.when(t + 2 <= t_steps - 1)
             def _():
@@ -271,7 +354,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
         jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
         alive_ref[0] = live_ref[...]
 
-    return kernel
+    return kernel, roll_trees
 
 
 def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
@@ -280,8 +363,7 @@ def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
     # loops was measured SLOWER (2.8 vs 8.2 Gnodes/s at N=128) - small lane
     # tiles cannot amortise the gather-ladder loop overhead.
     return (
-        _HAS_PALLAS
-        and jax.default_backend() == "tpu"
+        tpu_kernels_available()
         and trees.max_nodes <= UNROLL_MAX_NODES
         and trees.batch_shape[-1] == d  # m == state dim
     )
@@ -470,7 +552,7 @@ def _fitness_impl(
     y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
     ys_l = y.reshape(t_steps, rows, grid, sub, LANE)
 
-    kernel = _make_fitness_kernel(
+    kernel, roll_trees = _make_fitness_kernel(
         fset, n, m, t_steps, substeps, dt, method,
         process_noise=process_noise_rows is not None,
     )
@@ -499,7 +581,7 @@ def _fitness_impl(
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((2, rows, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((m, sub, LANE), jnp.float32)] if roll_trees else []),
     )(ops_l, c2_l, const_l, x0_l, ys_l)
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
@@ -546,7 +628,9 @@ def _rollout_impl(
     x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
     x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
 
-    kernel = _make_rollout_kernel(fset, n, m, t_steps, substeps, dt, method)
+    kernel, roll_trees = _make_rollout_kernel(
+        fset, n, m, t_steps, substeps, dt, method
+    )
     tree_spec = pl.BlockSpec(
         (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -573,7 +657,7 @@ def _rollout_impl(
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((2, m, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((m, sub, LANE), jnp.float32)] if roll_trees else []),
     )(ops_l, c2_l, const_l, x0_l)
 
     xs = xs.reshape(t_steps, m, lp)[:, :, :lanes].reshape(t_steps, m, p, b)

@@ -235,6 +235,103 @@ def make_sharded_evaluator(eval_islands: Callable, mesh: Mesh, axis_name: str = 
     )
 
 
+def make_constant_opt_collective(
+    optimise: Callable,
+    mesh: Mesh,
+    top_k: int,
+    axis_name: str = "i",
+):
+    """Distributed top-k constant optimisation for ``fit(shard=True)``.
+
+    Replaces the GSPMD global argsort of ``strategy._optimise_core`` (which
+    XLA lowers to an all-gather of the full population) with an explicit
+    local-top-k -> all-gather -> merge scheme (reference quirk at
+    ``genetic_programming.py:418-422``: hardcoded top-50 sharded over the
+    mesh):
+
+    * each device contributes its local top ``min(k, local_pop)`` candidates
+      (the exact global top-k is always inside this union) — only
+      ``n_dev * k`` candidates ever cross ICI, not the population;
+    * the merged global top ``ceil(k / n_dev) * n_dev`` (>= k, so every
+      device refines an equal slice — a superset of the exact top-k,
+      monotone since refinement never hurts) is computed replicated;
+    * each device runs the Adam refinement on its slice of winners;
+    * optimised constants/fitness return to the OWNING device's islands via
+      a second all-gather + out-of-bounds-dropped scatter.
+
+    Returns ``step(populations, fitness) -> (populations, fitness)`` with the
+    island axis sharded; fitness entries of refined candidates are replaced
+    by their refined fitness, matching ``_optimise_core``.
+    """
+    n_dev = mesh.devices.size
+    k_local = -(-top_k // n_dev)  # ceil: per-device share of the refinement
+    k_pad = k_local * n_dev
+
+    def local_step(populations, fitness):
+        # populations: (local_islands, pop, ...); fitness: (local_islands, pop)
+        flat_fit = fitness.reshape(-1)
+        flat_pop = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), populations
+        )
+        n_local = flat_fit.shape[0]
+        k_contrib = min(top_k, n_local)
+
+        local_idx = jnp.argsort(flat_fit)[:k_contrib]
+        local_cands = jax.tree_util.tree_map(lambda x: x[local_idx], flat_pop)
+        local_sel_fit = flat_fit[local_idx]
+
+        # one gather of k_contrib candidates per device; merge is replicated
+        gath_fit = jax.lax.all_gather(local_sel_fit, axis_name)  # (n_dev, kc)
+        gath_idx = jax.lax.all_gather(local_idx, axis_name)  # (n_dev, kc)
+        gath_cands = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis_name), local_cands
+        )
+        order = jnp.argsort(gath_fit.reshape(-1))[:k_pad]  # winners first
+        winners = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_dev * k_contrib,) + x.shape[2:])[order],
+            gath_cands,
+        )
+
+        # each device refines winners[me*kl : (me+1)*kl]
+        me = jax.lax.axis_index(axis_name)
+        my_slice = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, me * k_local, k_local),
+            winners,
+        )
+        opt_fit, opt_cands = optimise(my_slice)
+
+        # return every refined slice to all devices, then keep what I own
+        all_fit = jax.lax.all_gather(opt_fit, axis_name).reshape(k_pad)
+        all_cands = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis_name).reshape(
+                (k_pad,) + x.shape[1:]
+            ),
+            opt_cands,
+        )
+        owner_dev = order // k_contrib  # gathered row = owning device
+        owner_idx = gath_idx.reshape(-1)[order]  # flat index on that device
+        # scatter only my winners; others target index n_local -> dropped
+        tgt = jnp.where(owner_dev == me, owner_idx, n_local)
+        flat_pop = jax.tree_util.tree_map(
+            lambda x, o: x.at[tgt].set(o, mode="drop"), flat_pop, all_cands
+        )
+        flat_fit = flat_fit.at[tgt].set(all_fit, mode="drop")
+
+        local_islands = fitness.shape[0]
+        pop = jax.tree_util.tree_map(
+            lambda x: x.reshape((local_islands, -1) + x.shape[1:]), flat_pop
+        )
+        return pop, flat_fit.reshape(local_islands, -1)
+
+    return shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+
+
 def global_best(fitness: Array, populations: TreeTensors, mesh: Mesh, axis_name: str = "i"):
     """Sharded global argmin: (best_fitness, best_candidate) without
     gathering the population to one device."""

@@ -34,6 +34,38 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "i") -> Mesh:
     return Mesh(np.asarray(devices), axis_names=(axis_name,))
 
 
+def make_mesh_2d(
+    num_slices: int,
+    devices_per_slice: Optional[int] = None,
+    axis_names=("dcn", "i"),
+) -> Mesh:
+    """2-D (DCN x ICI) mesh for multi-slice pods.
+
+    The outer axis spans slices (inter-slice traffic rides the data-center
+    network), the inner axis the chips of one slice (ICI). Collectives over
+    the TUPLE ``axis_names`` treat the flattened product as one logical ring
+    with dcn-major linearization — so the island migration ring crosses DCN
+    exactly once per slice boundary per period, everything else stays on ICI.
+
+    On a real multi-slice deployment call ``jax.distributed.initialize()``
+    first; ``jax.devices()`` then enumerates all slices' chips grouped by
+    process, which is exactly the (slice, chip) reshape below.
+    """
+    devices = jax.devices()
+    if devices_per_slice is None:
+        devices_per_slice = len(devices) // num_slices
+    devices = np.asarray(devices[: num_slices * devices_per_slice]).reshape(
+        num_slices, devices_per_slice
+    )
+    return Mesh(devices, axis_names=axis_names)
+
+
+def mesh_axes(mesh: Mesh):
+    """The spec entry sharding one array dim over EVERY mesh axis: the plain
+    axis name for 1-D meshes, the tuple of names for DCN x ICI meshes."""
+    return mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+
+
 def island_sharding(mesh: Mesh, num_islands: int) -> NamedSharding:
     """Sharding for (islands, pop, trees, nodes) tree tensors.
 
@@ -41,18 +73,18 @@ def island_sharding(mesh: Mesh, num_islands: int) -> NamedSharding:
     population axis.
     """
     n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
+    axes = mesh_axes(mesh)
     if num_islands % n_dev == 0:
-        return NamedSharding(mesh, P(axis))
-    return NamedSharding(mesh, P(None, axis))
+        return NamedSharding(mesh, P(axes))
+    return NamedSharding(mesh, P(None, axes))
 
 
 def fitness_sharding(mesh: Mesh, num_islands: int) -> NamedSharding:
     n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
+    axes = mesh_axes(mesh)
     if num_islands % n_dev == 0:
-        return NamedSharding(mesh, P(axis))
-    return NamedSharding(mesh, P(None, axis))
+        return NamedSharding(mesh, P(axes))
+    return NamedSharding(mesh, P(None, axes))
 
 
 def shard_population(populations, fitness_or_none, mesh: Mesh):

@@ -263,6 +263,13 @@ class GeneticProgramming:
         best_idx = jnp.argsort(flat_fit)[:k]
         cands = jax.tree_util.tree_map(lambda x: x[best_idx], flat_pop)
         opt_fit, opt_cands = self._optimise(cands, data)
+        # the optimiser loss is the raw evaluator fitness; re-add the
+        # parsimony term (tree sizes are unchanged by constant refinement)
+        # so refined entries stay comparable with the rest of the population
+        if self.size_parsimony:
+            opt_fit = opt_fit + self.size_parsimony * jnp.sum(
+                tree_sizes(cands), axis=-1
+            )
         # keep optimised only where better (best-over-epochs already includes
         # the unoptimised candidate, so this is monotone)
         flat_pop = jax.tree_util.tree_map(
@@ -357,6 +364,9 @@ class GeneticProgramming:
         data,
         num_generations: Optional[int] = None,
         shard: bool = False,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 10,
+        resume_from: Optional[str] = None,
     ):
         """Run the whole evolution as one on-device ``lax.scan``.
 
@@ -364,13 +374,46 @@ class GeneticProgramming:
         final_populations, final_fitness)``. With ``shard=True`` the island
         axis is sharded over the mesh (pure SPMD; migration becomes an ICI
         collective permute).
+
+        With ``checkpoint_path`` the complete run state (populations, PRNG
+        key, generation, best-so-far histories) is saved atomically every
+        ``checkpoint_every`` generations through an ``io_callback`` — the
+        scan never leaves the device for it. ``resume_from`` restarts a run
+        from such a file: the remaining generations are scanned with the
+        saved key stream, so a killed-and-resumed run is bit-identical to an
+        uninterrupted one (tested).
         """
         g = num_generations or self.num_generations
-        init_key, run_key = jr.split(key)
-        populations = self.initialize_population(init_key)
+        start_gen = 0
+        if resume_from is not None:
+            from .utils.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(resume_from)
+            populations = ck["populations"]
+            run_key = ck["key"]
+            start_gen = ck["generation"]
+            assert start_gen <= g, (
+                f"checkpoint at generation {start_gen} but run is {g} long"
+            )
+            best_fit_hist = ck.get("best_fitnesses")
+            best_sol_hist = ck.get("best_solutions")
+            if best_fit_hist is None or best_fit_hist.shape[0] != g:
+                best_fit_hist = jnp.full((g,), jnp.inf)
+            if best_sol_hist is None or best_sol_hist.ops.shape[0] != g:
+                best_sol_hist = None  # rebuilt below from the population
+        else:
+            init_key, run_key = jr.split(key)
+            populations = self.initialize_population(init_key)
+            best_fit_hist = jnp.full((g,), jnp.inf)
+            best_sol_hist = None
+        if best_sol_hist is None:
+            best_sol_hist = jax.tree_util.tree_map(
+                lambda x: jnp.zeros((g,) + x.shape[2:], x.dtype), populations
+            )
 
         evolve = self._evolve_populations
         eval_core = lambda p: self._evaluate_core(p, data)
+        optimise_core = lambda p, f: self._optimise_core(p, f, data)
         if shard:
             populations = shard_population(populations, None, self.mesh)
             n_dev = self.mesh.devices.size
@@ -383,6 +426,12 @@ class GeneticProgramming:
                     make_evolve_populations_collective_fused,
                     make_sharded_evaluator,
                 )
+                from .parallel.mesh import mesh_axes
+
+                # 1-D ICI mesh -> "i"; 2-D DCN x ICI mesh -> the axis tuple
+                # (collectives over the tuple treat the flattened product as
+                # one ring, so migration crosses DCN only at slice boundaries)
+                axes = mesh_axes(self.mesh)
 
                 if self.fused_reproduction:
                     from .ops.pallas_evolve import make_reproduce_islands
@@ -403,6 +452,7 @@ class GeneticProgramming:
                         self.reproduction_type_probabilities,
                         self.reproduction_probabilities,
                         self.tournament_probabilities,
+                        axis_name=axes,
                     )
                 else:
                     evolve = make_evolve_populations_collective(
@@ -413,20 +463,62 @@ class GeneticProgramming:
                         self.reproduction_type_probabilities,
                         self.reproduction_probabilities,
                         self.tournament_probabilities,
+                        axis_name=axes,
                     )
-                eval_core = make_sharded_evaluator(eval_core, self.mesh)
+                eval_core = make_sharded_evaluator(
+                    eval_core, self.mesh, axis_name=axes
+                )
+                if self.coefficient_optimisation:
+                    # explicit distributed top-k (local top-k -> all_gather ->
+                    # merge) instead of the GSPMD global argsort
+                    from .parallel.collective import make_constant_opt_collective
+
+                    def _opt_with_parsimony(cands):
+                        fit, out = self._optimise(cands, data)
+                        if self.size_parsimony:
+                            fit = fit + self.size_parsimony * jnp.sum(
+                                tree_sizes(cands), axis=-1
+                            )
+                        return fit, out
+
+                    optimise_core = make_constant_opt_collective(
+                        _opt_with_parsimony,
+                        self.mesh,
+                        self.coefficient_opt_top_k,
+                        axis_name=axes,
+                    )
 
         use_const_opt = self.coefficient_optimisation
 
+        checkpointing = checkpoint_path is not None
+        if checkpointing:
+            from jax.experimental import io_callback
+
+            from .utils.checkpoint import save_checkpoint
+
+            def _host_save(ops, c1, c2, const, key, gen, bf, bs_ops, bs_c1,
+                           bs_c2, bs_const):
+                # "{gen}" in the path keeps every periodic snapshot instead
+                # of overwriting one file
+                path = checkpoint_path.format(gen=int(gen))
+                save_checkpoint(
+                    path,
+                    TreeTensors(ops, c1, c2, const),
+                    key,
+                    int(gen),
+                    best_fitnesses=bf,
+                    best_solutions=TreeTensors(bs_ops, bs_c1, bs_c2, bs_const),
+                )
+
         def generation(carry, gen):
-            populations, key = carry
+            populations, key, bf_hist, bs_hist = carry
             key, evolve_key = jr.split(key)
             fitness = eval_core(populations)
             if use_const_opt:
                 do = (gen > 10) & ((gen + 1) % 5 == 0)
                 populations, fitness = jax.lax.cond(
                     do,
-                    lambda p, f: self._optimise_core(p, f, data),
+                    optimise_core,
                     lambda p, f: (p, f),
                     populations,
                     fitness,
@@ -437,25 +529,48 @@ class GeneticProgramming:
                 lambda x: x.reshape((-1,) + x.shape[2:]), populations
             )
             best_solution = jax.tree_util.tree_map(lambda x: x[best], flat_pop)
+            bf_hist = bf_hist.at[gen].set(flat_fit[best])
+            bs_hist = jax.tree_util.tree_map(
+                lambda h, b: h.at[gen].set(b), bs_hist, best_solution
+            )
             new_pop = evolve(populations, fitness, evolve_key, gen)
             if shard:
                 new_pop = shard_population(new_pop, None, self.mesh)
-            return (new_pop, key), (flat_fit[best], best_solution, fitness)
+            if checkpointing:
+                def _save(pop, key, bf, bs):
+                    io_callback(
+                        _host_save, None,
+                        pop.ops, pop.c1, pop.c2, pop.const, key, gen + 1,
+                        bf, bs.ops, bs.c1, bs.c2, bs.const,
+                        ordered=False,
+                    )
 
-        # cache the compiled run per (data, length, sharding) so repeated
-        # fit() calls don't re-trace the whole-evolution scan
-        cache_key = (id(data), g, shard)
+                # resume point: (new_pop, post-split key, gen+1) — scanning on
+                # from here reproduces the uninterrupted run bit-exactly
+                jax.lax.cond(
+                    (gen + 1) % checkpoint_every == 0,
+                    lambda: _save(new_pop, key, bf_hist, bs_hist),
+                    lambda: None,
+                )
+            return (new_pop, key, bf_hist, bs_hist), fitness
+
+        # cache the compiled run per (data, length, sharding, checkpointing)
+        # so repeated fit() calls don't re-trace the whole-evolution scan;
+        # the generation index array is an argument, so resumed runs of the
+        # same remaining length reuse the compilation
+        cache_key = (id(data), g - start_gen, shard, checkpointing)
         if not hasattr(self, "_fit_cache"):
             self._fit_cache = {}
         if cache_key not in self._fit_cache:
             self._fit_cache[cache_key] = jax.jit(
-                lambda populations, run_key: jax.lax.scan(
-                    generation, (populations, run_key), jnp.arange(g)
-                )
+                lambda carry, gens: jax.lax.scan(generation, carry, gens)
             )
-        (final_pop, _), (best_fit, best_sol, fitness_hist) = self._fit_cache[
+        (final_pop, _, best_fit, best_sol), fitness_hist = self._fit_cache[
             cache_key
-        ](populations, run_key)
+        ](
+            (populations, run_key, best_fit_hist, best_sol_hist),
+            jnp.arange(start_gen, g),
+        )
         self.best_fitnesses = best_fit
         self.best_solutions = best_sol
         self.current_generation = g

@@ -129,3 +129,123 @@ def test_fused_collective_evolve_interpret_kernels():
             np.asarray(out.ops[i, :elite]),
             np.asarray(pops.ops[i, order[i, :elite]]),
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_collective_constant_opt_matches_unsharded():
+    """Distributed top-k const-opt (local top-k -> all_gather -> merge ->
+    per-device refine -> owner write-back) vs the plain global-argsort path."""
+    from multitreegp_tpu.ops.constant_opt import make_constant_optimiser
+    from multitreegp_tpu.parallel.collective import make_constant_opt_collective
+
+    islands, pop_size, trees, nodes = 8, 6, 2, 8
+    top_k = 8
+    key = jr.PRNGKey(7)
+    k1, k2 = jr.split(key)
+    ops = jnp.ones((islands, pop_size, trees, nodes), jnp.int32)  # all consts
+    c1 = jnp.full_like(ops, -1)
+    c2 = jnp.full_like(ops, -1)
+    const = jr.normal(k1, ops.shape, jnp.float32)
+    pops = TreeTensors(ops, c1, c2, const)
+
+    target = 1.5
+
+    def evaluate(pop, data=None):
+        # smooth per-candidate loss over const slots -> Adam moves them
+        return jnp.sum(jnp.square(pop.const - target), axis=(-1, -2))
+
+    fitness = jr.uniform(k2, (islands, pop_size))
+    optimise = make_constant_optimiser(evaluate, gradient_steps=4)
+
+    mesh = make_mesh(8)
+    step = make_constant_opt_collective(
+        lambda c: optimise(c, None), mesh, top_k
+    )
+    out_pop, out_fit = jax.jit(step)(pops, fitness)
+
+    # unsharded reference: same k_pad winners, batch-refined, scattered back
+    flat_fit = np.asarray(fitness).reshape(-1)
+    flat_const = np.asarray(const).reshape((-1, trees, nodes))
+    order = np.argsort(flat_fit)[:top_k]
+    sel = TreeTensors(
+        jnp.asarray(np.ones((top_k, trees, nodes), np.int32)),
+        jnp.full((top_k, trees, nodes), -1, jnp.int32),
+        jnp.full((top_k, trees, nodes), -1, jnp.int32),
+        jnp.asarray(flat_const[order]),
+    )
+    ref_fit, ref_cands = optimise(sel, None)
+    want_fit = flat_fit.copy()
+    want_const = flat_const.copy()
+    want_fit[order] = np.asarray(ref_fit)
+    want_const[order] = np.asarray(ref_cands.const)
+
+    np.testing.assert_allclose(
+        np.asarray(out_fit).reshape(-1), want_fit, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pop.const).reshape((-1, trees, nodes)),
+        want_const,
+        rtol=1e-5,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_collective_migration_2d_dcn_mesh():
+    """Multi-slice shape: the same generation step over a 2x4 (dcn x ici)
+    mesh — the global island ring crosses DCN only at slice boundaries; the
+    result must equal the reference ring migration, like the 1-D case."""
+    from multitreegp_tpu.parallel.mesh import make_mesh_2d, mesh_axes
+
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.axis_names == ("dcn", "i") and mesh.devices.shape == (2, 4)
+    pop, fitness = _tagged_population(jr.PRNGKey(0))
+
+    identity = lambda p, f, k, a, b, c: p
+    step = make_evolve_populations_collective(
+        identity,
+        mesh,
+        migration_period=2,
+        migration_size=MIG,
+        reproduction_type_probabilities=jnp.zeros((ISLANDS, 3)),
+        reproduction_probabilities=jnp.zeros(ISLANDS),
+        tournament_probabilities=jnp.zeros((ISLANDS, 4)),
+        axis_name=mesh_axes(mesh),
+    )
+    out = jax.jit(step)(pop, fitness, jr.PRNGKey(1), jnp.int32(1))
+    ref, _ = migrate_ring(pop, fitness, MIG)
+    got_ids = np.sort(np.asarray(out.const[..., 0, 0]), axis=1)
+    ref_ids = np.sort(np.asarray(ref.const[..., 0, 0]), axis=1)
+    np.testing.assert_array_equal(got_ids, ref_ids)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_fit_shard_2d_dcn_mesh():
+    """fit(shard=True) end-to-end on a 2x4 dcn x ici mesh (non-fused CPU
+    path): the multi-slice configuration compiles and runs."""
+    from multitreegp_tpu import GeneticProgramming
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.parallel.mesh import make_mesh_2d
+
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=4)
+    gp = GeneticProgramming(
+        num_generations=2,
+        population_size=8,
+        fitness_function=SREvaluator(substeps=1),
+        operator_list=[("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+                       ("*", jnp.multiply, 2, 0.5)],
+        variable_list=[["x0", "x1"]],
+        layer_sizes=[2],
+        num_populations=8,
+        max_init_depth=3,
+        max_nodes=16,
+        elite_percentage=0.25,
+        migration_percentage=0.25,
+        migration_period=2,
+        mesh=make_mesh_2d(2, 4),
+    )
+    hist, _, _, fit = gp.fit(jr.PRNGKey(1), data, shard=True)
+    assert hist.shape == (2,)
+    assert bool(jnp.isfinite(fit).all())

@@ -55,6 +55,39 @@ def test_fitness_kernel_matches_general():
     assert dd.max() < 1e-5, dd.max()
 
 
+def test_trajectory_kernel_matches_ladder_rollout():
+    """``rollout_sr_pallas`` (trajectory variant, HBM-streamed save rows) vs
+    the ladder scan rollout — exact on live lanes, liveness masks equal."""
+    from multitreegp_tpu.core.pallas_rollout import rollout_sr_pallas
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    x0s, _, _ys, keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(1), 8)
+    p, b, d = 8, 4, 2
+    with pltpu.force_tpu_interpret_mode():
+        xs_k, alive_k = rollout_sr_pallas(
+            pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, fset, substeps=2
+        )
+    ev = SREvaluator(fset, substeps=2, interpreter="ladder")
+    xs, alive_l = ev._rollout(pop, x0s, ts, keys)
+    ak, al = np.asarray(alive_k[-1]), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(ak, al)
+    live = ak & al
+    diff = np.abs(np.asarray(xs_k) - np.asarray(xs))[:, live]
+    assert diff.max() < 1e-5, diff.max()
+
+
 def test_fitness_kernel_sde_matches_integrate_sde():
     """SR SDE variant: exact integrate_sde V dW kicks streamed with the
     ground truth -> parity with the general Euler-Maruyama path."""

@@ -155,3 +155,48 @@ def test_static_policy_smoke():
     best_fit, best_sol, final_pop, _ = strategy.fit(jr.PRNGKey(8), data)
     assert np.isfinite(np.asarray(best_fit)).all()
     validate_host(final_pop, strategy.fset.slots)
+
+
+def test_fit_checkpoint_and_resume(tmp_path):
+    """Kill-and-resume: a run checkpointed at gen 3 and resumed must be
+    bit-identical to the uninterrupted run (same key stream)."""
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 4.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4)
+
+    def make():
+        return GeneticProgramming(
+            num_generations=6,
+            population_size=16,
+            fitness_function=SREvaluator(substeps=1),
+            operator_list=OPERATORS,
+            variable_list=[["x0", "x1"]],
+            layer_sizes=[2],
+            num_populations=2,
+            max_init_depth=3,
+            max_nodes=16,
+            migration_period=3,
+            migration_percentage=0.125,
+            elite_percentage=0.125,
+        )
+
+    ck = str(tmp_path / "run_{gen}.npz")
+    # uninterrupted run
+    bf_full, _, pop_full, fit_full = make().fit(jr.PRNGKey(5), data)
+    # checkpointed run: periodic snapshots at gens 3 and 6
+    make().fit(jr.PRNGKey(5), data, checkpoint_path=ck, checkpoint_every=3)
+    import numpy as _np
+
+    mid = str(tmp_path / "run_3.npz")
+    with _np.load(mid) as z:
+        assert int(z["generation"]) == 3
+    # "kill" after the gen-3 snapshot, resume the remaining generations
+    bf_res, _, pop_res, fit_res = make().fit(
+        jr.PRNGKey(5), data, resume_from=mid
+    )
+    np.testing.assert_array_equal(np.asarray(fit_full), np.asarray(fit_res))
+    np.testing.assert_array_equal(
+        np.asarray(pop_full.ops), np.asarray(pop_res.ops)
+    )
+    # history: gens 0-2 come from the checkpoint, 3-5 from the resumed scan
+    np.testing.assert_array_equal(np.asarray(bf_full), np.asarray(bf_res))

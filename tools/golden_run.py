@@ -184,5 +184,253 @@ def main(generations: int = 30, population_size: int = 60, num_islands: int = 2,
     print("GOLDEN RUN PARITY OK")
 
 
+def _patch_ref_evolve(ref_gp, population_size):
+    """jax>=0.7 compat: rebuild the reference's jitted evolve partial with a
+    hashable python-int num_trees (see reference_run)."""
+    from functools import partial as _partial
+
+    from MultiTreeGP.genetic_operators.reproduction import evolve_population
+
+    ref_gp.jit_evolve_population = jax.jit(_partial(
+        evolve_population,
+        reproduction_functions=ref_gp.reproduction_functions,
+        elite_size=ref_gp.elite_size,
+        tournament_size=ref_gp.tournament_size,
+        num_trees=int(ref_gp.num_trees),
+        population_size=population_size,
+    ))
+
+
+def _ref_policy_run(make_evaluator, variable_list, layer_sizes, data, seeds,
+                    generations, population_size, num_islands, operator_list,
+                    size_parsinomy):
+    """Full reference loop (its initializer/operators/evaluator via the shim)
+    -> best-so-far curves, one per seed."""
+    from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    curves = []
+    for seed in seeds:
+        ref_gp = RefGP(
+            num_generations=generations,
+            population_size=population_size,
+            fitness_function=make_evaluator(),
+            operator_list=operator_list,
+            variable_list=variable_list,
+            layer_sizes=jnp.array(layer_sizes),
+            num_populations=num_islands,
+            size_parsinomy=size_parsinomy,
+        )
+        _patch_ref_evolve(ref_gp, population_size)
+        eval_fn = jax.jit(
+            lambda arr: ref_gp.vmap_trees(arr[..., 3:], arr[..., :3], data)
+        )
+        key = jr.PRNGKey(seed)
+        key, k_init = jr.split(key)
+        pops = ref_gp.initialize_population(k_init)
+        best = []
+        for _g in range(generations):
+            flat = pops.reshape(-1, *pops.shape[2:])
+            fitness = np.asarray(eval_fn(flat))
+            # parsimony exactly as the reference applies it (:424)
+            sizes = np.sum(np.asarray(flat[..., 0]) != 0, axis=(1, 2))
+            fitness = fitness + size_parsinomy * sizes
+            best.append(float(np.min(fitness)))
+            key, k_ev = jr.split(key)
+            pops = ref_gp.evolve(
+                pops,
+                jnp.asarray(fitness).reshape(num_islands, population_size),
+                k_ev,
+            )
+        curves.append(np.minimum.accumulate(best))
+    return np.asarray(curves)
+
+
+def _our_policy_run(make_evaluator, variable_list, layer_sizes, data, seeds,
+                    generations, population_size, num_islands, operator_list,
+                    size_parsimony):
+    from multitreegp_tpu import GeneticProgramming
+
+    curves = []
+    for seed in seeds:
+        gp = GeneticProgramming(
+            num_generations=generations,
+            population_size=population_size,
+            fitness_function=make_evaluator(),
+            operator_list=operator_list,
+            variable_list=variable_list,
+            layer_sizes=layer_sizes,
+            num_populations=num_islands,
+            size_parsimony=size_parsimony,
+        )
+        best, _sol, _pop, _fit = gp.fit(jr.PRNGKey(seed), data)
+        curves.append(np.minimum.accumulate(np.asarray(best)))
+    return np.asarray(curves)
+
+
+def _report_policy(title, ref, ours, generations, seeds, report_path):
+    ref_med = np.median(ref, axis=0)
+    our_med = np.median(ours, axis=0)
+    gens_shown = sorted(set(
+        g for g in (0, 4, 9, generations - 1) if g < generations
+    ))
+    lines = [
+        "",
+        f"## {title}",
+        "",
+        "| generation | reference median best | ours median best |",
+        "|---|---|---|",
+    ] + [
+        f"| {g + 1} | {ref_med[g]:.4f} | {our_med[g]:.4f} |" for g in gens_shown
+    ] + [
+        "",
+        f"- final best per seed — reference: {[f'{v:.3f}' for v in ref[:, -1]]},"
+        f" ours: {[f'{v:.3f}' for v in ours[:, -1]]}",
+        "- different PRNG streams by construction; the criterion is comparable",
+        "  decay and comparable final quality (BASELINE.json north star).",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    out = report_path or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "GOLDEN_PARITY.md"
+    )
+    with open(out, "a") as f:
+        f.write(report + "\n")
+    assert np.isfinite(ref_med[-1]) and np.isfinite(our_med[-1])
+    # both stacks improve; ours lands in the reference's quality class
+    assert ref_med[-1] < 0.9 * ref_med[0]
+    assert our_med[-1] < 0.9 * our_med[0]
+    assert our_med[-1] <= max(1.5 * ref_med[-1], ref_med[-1] + 2.0)
+
+
+def main_policy_run(generations: int = 25, population_size: int = 50,
+                    num_islands: int = 2, batch_size: int = 8,
+                    horizon: float = 10.0, save_dt: float = 0.2,
+                    dt0: float = 0.05, seeds=(0, 1, 2),
+                    report_path: str | None = None):
+    """Golden RUN parity on the StaticPolicy notebook workload (Acrobot
+    swing-up, obs noise 0.1, `size_parsinomy=1`, ops +,-,*,sin,cos) at
+    reduced scale, fixed-step Euler in both stacks (the shim's solver; the
+    notebook's adaptive Dopri5 config is compared separately)."""
+    patch_shard_map()
+
+    from MultiTreeGP.environments.control_environments.acrobot import (
+        Acrobot as RefAcrobot,
+    )
+    from MultiTreeGP.evaluators.feedforward_evaluate import Evaluator as RefFF
+
+    operator_list = [
+        ("+", lambda x, y: x + y, 2, 0.5),
+        ("-", lambda x, y: x - y, 2, 0.1),
+        ("*", lambda x, y: x * y, 2, 0.5),
+        ("sin", lambda x: jnp.sin(x), 1, 0.1),
+        ("cos", lambda x: jnp.cos(x), 1, 0.1),
+    ]
+    ref_env = RefAcrobot(0.05, 0.1)
+    key = jr.PRNGKey(42)
+    k_init, k_n1, k_n2, k_param = jr.split(key, 4)
+    x0s, targets = ref_env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+    params = ref_env.sample_params(batch_size, "Constant", ts, k_param)
+    data = (x0s, ts, targets, jr.split(k_n1, batch_size),
+            jr.split(k_n2, batch_size), params)
+
+    ref = _ref_policy_run(
+        lambda: RefFF(ref_env, dt0=dt0),
+        [["y1", "y2", "y3", "y4"]], [ref_env.n_control],
+        data, seeds, generations, population_size, num_islands,
+        operator_list, size_parsinomy=1,
+    )
+
+    from multitreegp_tpu.models.environments import Acrobot
+    from multitreegp_tpu.models.evaluators import StaticPolicyEvaluator
+
+    my_env = Acrobot(0.05, 0.1)
+    ours = _our_policy_run(
+        lambda: StaticPolicyEvaluator(
+            my_env, method="euler", substeps=int(round(save_dt / dt0)),
+            interpreter="ladder",
+        ),
+        [["y1", "y2", "y3", "y4"]], [my_env.n_control],
+        data, seeds, generations, population_size, num_islands,
+        operator_list, size_parsimony=1,
+    )
+    _report_policy(
+        "Golden RUN parity: StaticPolicy notebook workload (Acrobot, pop "
+        f"{population_size} x {num_islands}, {generations} gens, "
+        f"{len(seeds)} seeds, Euler dt0={dt0})",
+        ref, ours, generations, seeds, report_path,
+    )
+    print("STATIC POLICY RUN PARITY OK")
+
+
+def main_dynamic_run(generations: int = 25, population_size: int = 50,
+                     num_islands: int = 2, batch_size: int = 8,
+                     horizon: float = 10.0, save_dt: float = 0.2,
+                     dt0: float = 0.05, state_size: int = 2, seeds=(0, 1, 2),
+                     report_path: str | None = None):
+    """Golden RUN parity on the DynamicPolicy notebook workload (Acrobot,
+    stateful policy with layer_sizes [state_size, n_control] and two
+    variable sets) at reduced scale, Euler in both stacks."""
+    patch_shard_map()
+
+    from MultiTreeGP.environments.control_environments.acrobot import (
+        Acrobot as RefAcrobot,
+    )
+    from MultiTreeGP.evaluators.dynamic_evaluate import Evaluator as RefDyn
+
+    operator_list = [
+        ("+", lambda x, y: x + y, 2, 0.5),
+        ("-", lambda x, y: x - y, 2, 0.1),
+        ("*", lambda x, y: x * y, 2, 0.5),
+        ("sin", lambda x: jnp.sin(x), 1, 0.1),
+        ("cos", lambda x: jnp.cos(x), 1, 0.1),
+    ]
+    variable_list = [["y1", "y2", "y3", "y4", "a1", "a2", "u"], ["a1", "a2"]]
+    ref_env = RefAcrobot(0.05, 0.1)
+    key = jr.PRNGKey(43)
+    k_init, k_n1, k_n2, k_param = jr.split(key, 4)
+    x0s, targets = ref_env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+    params = ref_env.sample_params(batch_size, "Constant", ts, k_param)
+    data = (x0s, ts, targets, jr.split(k_n1, batch_size),
+            jr.split(k_n2, batch_size), params)
+
+    ref = _ref_policy_run(
+        lambda: RefDyn(ref_env, state_size, dt0=dt0),
+        variable_list, [state_size, ref_env.n_control],
+        data, seeds, generations, population_size, num_islands,
+        operator_list, size_parsinomy=1,
+    )
+
+    from multitreegp_tpu.models.environments import Acrobot
+    from multitreegp_tpu.models.evaluators import DynamicPolicyEvaluator
+
+    my_env = Acrobot(0.05, 0.1)
+    ours = _our_policy_run(
+        lambda: DynamicPolicyEvaluator(
+            my_env, state_size=state_size, method="euler",
+            substeps=int(round(save_dt / dt0)), interpreter="ladder",
+        ),
+        variable_list, [state_size, my_env.n_control],
+        data, seeds, generations, population_size, num_islands,
+        operator_list, size_parsimony=1,
+    )
+    _report_policy(
+        "Golden RUN parity: DynamicPolicy notebook workload (Acrobot, "
+        f"state_size={state_size}, pop {population_size} x {num_islands}, "
+        f"{generations} gens, {len(seeds)} seeds, Euler dt0={dt0})",
+        ref, ours, generations, seeds, report_path,
+    )
+    print("DYNAMIC POLICY RUN PARITY OK")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
+    if which in ("all", "sr"):
+        main()
+    if which in ("all", "policy"):
+        main_policy_run()
+    if which in ("all", "dynamic"):
+        main_dynamic_run()
