@@ -90,22 +90,60 @@ def _make_kernel_unrolled(fset: FunctionSet, n: int, v: int):
     return kernel
 
 
+# Windowed second-operand gather for the rolled kernels: postorder layout
+# puts the second child directly below the first child's subtree, so link
+# distances are heavily skewed short (measured on grow-sampled N=128
+# populations: 93% <= 8, 99.7% <= 16). Rows gather over the last
+# GATHER_WINDOW rows; rows where any lane links farther (precomputed per
+# (tile, row), prefetched to SMEM) fall back to the exact full ladder under
+# ``pl.when`` — turning the O(N) per-row ladder into O(W) + rare O(N).
+GATHER_WINDOW = 9
+
+
+def far_rows_per_tile(c2: Array, grid: int) -> Array:
+    """(grid, n) int32 from per-lane child streams ``c2 (n, L)``: does any
+    lane of the tile link farther than GATHER_WINDOW at this row."""
+    n = c2.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    far = (c2 >= 0) & (rows - c2 > GATHER_WINDOW)
+    return jnp.moveaxis(
+        far.reshape(n, grid, TILE).any(axis=-1), 0, -1
+    ).astype(jnp.int32)
+
+
+def _windowed_gather(c2, i, vals_ref, far_scalar, y_scr, zero):
+    """y = vals[c2] via window loads + pl.when full-ladder fallback; leaves
+    the result in ``y_scr`` and returns it."""
+    y = zero
+    for k in range(2, GATHER_WINDOW + 1):
+        j = i - k
+        y = jnp.where((c2 == j) & (j >= 0), vals_ref[jnp.maximum(j, 0)], y)
+    y_scr[...] = y
+
+    @pl.when(far_scalar)
+    def _():
+        def ladder(j, _):
+            y_scr[...] = jnp.where(c2 == j, vals_ref[j], y_scr[...])
+            return 0
+
+        jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, 0)
+
+    return y_scr[...]
+
+
 def _make_kernel(fset: FunctionSet, n: int, v: int):
     var_start = fset.var_start
     fns = fset.operator_fns
 
-    def kernel(ops_ref, c2_ref, const_ref, data_ref, out_ref, vals_ref):
+    def kernel(ops_ref, c2_ref, const_ref, data_ref, far_ref, out_ref,
+               vals_ref, y_scr):
         zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
 
         def row(i, _):
             op = ops_ref[i, 0]  # (S, 128) int32
             x = vals_ref[jnp.maximum(i - 1, 0)]
             c2 = c2_ref[i, 0]
-
-            def ladder(j, y):
-                return jnp.where(c2 == j, vals_ref[j], y)
-
-            y = jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, zero)
+            y = _windowed_gather(c2, i, vals_ref, far_ref[0, i] != 0, y_scr, zero)
 
             leaf = zero
             for var in range(v):  # static unroll: V is small
@@ -137,16 +175,15 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
     var_start = fset.var_start
     fns = fset.operator_fns
 
-    def kernel(ops_ref, c2_ref, const_ref, data_ref, g_ref,
-               dconst_ref, ddata_ref, vals_ref, dvals_ref):
+    def kernel(ops_ref, c2_ref, const_ref, data_ref, g_ref, far_ref,
+               dconst_ref, ddata_ref, vals_ref, dvals_ref, y_scr):
         zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
         one = jnp.ones((SUBLANES, LANE), jnp.float32)
 
         def gather_y(i, c2):
-            def ladder(j, y):
-                return jnp.where(c2 == j, vals_ref[j], y)
-
-            return jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, zero)
+            return _windowed_gather(
+                c2, i, vals_ref, far_ref[0, i] != 0, y_scr, zero
+            )
 
         # ---- forward recompute (identical to _make_kernel's sweep)
         def row(i, _):
@@ -203,11 +240,26 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
             def _():
                 dvals_ref[i - 1] += dx  # masked: dx == 0 on non-operator rows
 
-            def scatter(j, _):
-                dvals_ref[j] += jnp.where(c2 == j, dy, zero)
-                return 0
+            # windowed scatter (mirror of the forward gather): the second
+            # child is within GATHER_WINDOW rows except on far-flagged rows
+            for kk2 in range(2, GATHER_WINDOW + 1):
+                j = i - kk2
 
-            jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), scatter, 0, unroll=False)
+                @pl.when(j >= 0)
+                def _(j=j):
+                    dvals_ref[jnp.maximum(j, 0)] += jnp.where(c2 == j, dy, zero)
+
+            @pl.when(far_ref[0, i] != 0)
+            def _():
+                def scatter(j, _):
+                    @pl.when(j < i - GATHER_WINDOW)
+                    def _():
+                        dvals_ref[j] += jnp.where(c2 == j, dy, zero)
+
+                    return 0
+
+                jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), scatter, 0,
+                                  unroll=False)
 
             dconst_ref[i, 0] = jnp.where(op == CONST, gi, zero)
             for var in range(v):
@@ -237,7 +289,8 @@ def _run_bwd(ops, c2, const, data, g, fset: FunctionSet):
         kernel,
         grid=(grid,),
         in_specs=[spec3(n), spec3(n), spec3(n), spec3(v),
-                  pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+                  pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM)],
         out_specs=(spec3(n), spec3(v)),
         out_shape=(
             jax.ShapeDtypeStruct((n, grid, SUBLANES, LANE), jnp.float32),
@@ -246,9 +299,10 @@ def _run_bwd(ops, c2, const, data, g, fset: FunctionSet):
         scratch_shapes=[
             pltpu.VMEM((n, SUBLANES, LANE), jnp.float32),
             pltpu.VMEM((n, SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
         ],
     )(reshape(ops), reshape(c2), reshape(const), reshape(data),
-      g.reshape(grid, SUBLANES, LANE))
+      g.reshape(grid, SUBLANES, LANE), far_rows_per_tile(c2, grid))
     return dconst.reshape(n, l), ddata.reshape(v, l)
 
 
@@ -266,14 +320,26 @@ def _run(ops, c2, const, data, fset: FunctionSet):
     spec3 = lambda rows: pl.BlockSpec(
         (rows, 1, SUBLANES, LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [spec3(n), spec3(n), spec3(n), spec3(v)]
+    operands = [reshape(ops), reshape(c2), reshape(const), reshape(data)]
+    scratch = []
+    if not unrolled:
+        in_specs.append(
+            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(far_rows_per_tile(c2, g))
+        scratch = [
+            pltpu.VMEM((n, SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[spec3(n), spec3(n), spec3(n), spec3(v)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, SUBLANES, LANE), jnp.float32),
-        scratch_shapes=[] if unrolled else [pltpu.VMEM((n, SUBLANES, LANE), jnp.float32)],
-    )(reshape(ops), reshape(c2), reshape(const), reshape(data))
+        scratch_shapes=scratch,
+    )(*operands)
     return out.reshape(l)
 
 

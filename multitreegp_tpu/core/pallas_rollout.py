@@ -73,7 +73,7 @@ class _RefRows:
         return self.ref[self.mi, i, 0]
 
 
-def _make_sr_tree_eval(fset: FunctionSet, n: int):
+def _make_sr_tree_eval(fset: FunctionSet, n: int, sub: int = SUBLANES):
     var_start = fset.var_start
 
     def eval_tree(ops_tile, c2_tile, const_tile, x_tiles):
@@ -81,8 +81,8 @@ def _make_sr_tree_eval(fset: FunctionSet, n: int):
         the list of per-variable (S, 128) register tiles. Row sources are
         indexable (SSA lists or a ``_RefRows`` VMEM view) so the ladder serves
         both the unrolled and the fori-rolled tree loops."""
-        zero = jnp.zeros((SUBLANES, LANE), jnp.float32)
-        one = jnp.ones((SUBLANES, LANE), jnp.float32)
+        zero = jnp.zeros((sub, LANE), jnp.float32)
+        one = jnp.ones((sub, LANE), jnp.float32)
         vals = []
         for i in range(n):
             op = ops_tile[i]
@@ -226,7 +226,8 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
 def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                          substeps: int, dt: float, method: str,
-                         process_noise: bool = False):
+                         process_noise: bool = False, sub: int = SUBLANES,
+                         deep: bool = False):
     """Rollout + in-kernel MSE: never materialises the trajectory.
 
     The SR fitness only needs ``mean_t sum_d (x_t - y_t)^2`` per lane; the
@@ -242,15 +243,38 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     after each Euler substep — the SDE variant of the SR evaluator.
     """
     stages, final_scale = _RK_TABLES[method]
-    eval_tree = _make_sr_tree_eval(fset, n)
     # same compile-time control as _make_rollout_kernel (policy fori-rolling)
-    roll_trees = m >= 2
+    roll_trees = m >= 2 or deep
     roll_sub = substeps >= 2
+    if deep:
+        eval_deep = _make_deep_tree_eval(fset, n, sub)
+    else:
+        eval_tree = _make_sr_tree_eval(fset, n, sub)
 
-    def kernel(ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
-               err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra):
+    def kernel(*refs):
+        if deep:
+            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref, far_ref,
+             err_ref, alive_ref, x_ref, live_ref, y_scr, ysem,
+             tree_scr, vals_scr, ysel_scr) = refs
+        else:
+            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
+             err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra) = refs
         gi = pl.program_id(0)
-        if roll_trees:
+        if deep:
+            def drift(x_tiles):
+                def body(mi, _):
+                    eval_deep(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi),
+                        lambda i: far_ref[0, mi, i] != 0,
+                        x_tiles, vals_scr, ysel_scr,
+                    )
+                    tree_scr[mi] = ysel_scr[...]
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        elif roll_trees:
             tree_scr = extra[0]
 
             def drift(x_tiles):
@@ -287,7 +311,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             return good.astype(jnp.float32)
 
         def sq_err(x_tiles, slot):
-            e = jnp.zeros((SUBLANES, LANE), jnp.float32)
+            e = jnp.zeros((sub, LANE), jnp.float32)
             for mi in range(m):
                 dlt = x_tiles[mi] - y_scr[slot, mi]
                 e = e + dlt * dlt
@@ -311,7 +335,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             row offset is dynamic VMEM indexing either way)."""
             x = [x_ref[mi] for mi in range(m)]
             alive = live_ref[...]
-            acc = [jnp.zeros((SUBLANES, LANE), jnp.float32) for _ in range(m)]
+            acc = [jnp.zeros((sub, LANE), jnp.float32) for _ in range(m)]
             k = None
             for c, w in stages:
                 x_stage = x if k is None else [
@@ -357,14 +381,104 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     return kernel, roll_trees
 
 
-def rollout_available(fset: FunctionSet, trees: TreeTensors, d: int) -> bool:
-    # Deep trees (N > UNROLL_MAX_NODES) deliberately use the per-call
-    # interpreter kernel instead: a fused variant with dynamic in-kernel row
-    # loops was measured SLOWER (2.8 vs 8.2 Gnodes/s at N=128) - small lane
-    # tiles cannot amortise the gather-ladder loop overhead.
+# ---------------------------------------------------------------- deep trees
+#
+# Beyond UNROLL_MAX_NODES the unrolled SSA ladder is out (O(N^2) compile) and
+# the r1 fused attempt with a full dynamic fori ladder measured SLOWER than
+# per-call kernels (2.8 vs 8.2 Gnodes/s at N=128): every row paid an O(N)
+# gather ladder. The windowed design here exploits the postorder layout's
+# link-distance skew — measured on grow-sampled N=128 populations: 93% of
+# second-child links have distance <= 8, 99.7% <= 16 (the second child sits
+# directly below the first child's subtree, and most subtrees are small):
+#
+# * rows roll in a fori; values land in an (N, S, L) VMEM scratch;
+# * the second operand is gathered by K dynamic row loads over the last K
+#   rows (the window) instead of an O(N) ladder;
+# * rows with any farther link in the lane tile (rare, precomputed per
+#   (tile, row) on the host side and prefetched to SMEM) fall back to the
+#   exact full ladder under ``pl.when`` — paid only when taken;
+# * (8, 128) lane tiles keep the three tree streams + value scratch inside
+#   VMEM at N=256.
+DEEP_MAX_NODES = 256
+DEEP_WINDOW = 9  # gather window: covers link distances 2..9
+SUBLANES_DEEP = 8
+TILE_DEEP = SUBLANES_DEEP * LANE
+
+
+def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
+    """Rolled-row tree eval on (sub, 128) tiles: windowed gather + rare
+    full-ladder fallback. Returns ``eval_tree(ops_rows, c2_rows, const_rows,
+    far_scalar, x_tiles, vals_scr, y_scr)`` writing the root value to
+    ``y_scr`` (read it back as ``y_scr[...]``); ``far_scalar(i)`` must yield
+    a scalar bool "some lane's row i has a link farther than the window"."""
+    var_start = fset.var_start
+
+    def eval_tree(ops_rows, c2_rows, const_rows, far_scalar, x_tiles,
+                  vals_scr, y_scr):
+        zero = jnp.zeros((sub, LANE), jnp.float32)
+        one = jnp.ones((sub, LANE), jnp.float32)
+
+        def row(i, _):
+            op = ops_rows[i]
+            c2 = c2_rows[i]
+            x = vals_scr[jnp.maximum(i - 1, 0)]
+
+            y = zero
+            for k in range(2, DEEP_WINDOW + 1):
+                j = i - k
+                jc = jnp.maximum(j, 0)
+                y = jnp.where((c2 == j) & (j >= 0), vals_scr[jc], y)
+            y_scr[...] = y
+
+            @pl.when(far_scalar(i))
+            def _():
+                def ladder(j, _):
+                    y_scr[...] = jnp.where(c2 == j, vals_scr[j], y_scr[...])
+                    return 0
+
+                jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, 0)
+
+            y = y_scr[...]
+            leaf = zero
+            for var in range(min(len(x_tiles), fset.num_variables)):
+                leaf = jnp.where(op == var_start + var, x_tiles[var], leaf)
+            val = zero
+            for k, fn in enumerate(fset.operator_fns):
+                sel = op == (OP_START + k)
+                xs = jnp.where(sel, x, one)
+                ys = jnp.where(sel, y, one)
+                val = jnp.where(sel, fn(xs, ys), val)
+            val = jnp.where(op == CONST, const_rows[i], val)
+            val = jnp.where(op >= var_start, leaf, val)
+            vals_scr[i] = val
+            return 0
+
+        jax.lax.fori_loop(0, n, row, 0, unroll=False)
+        y_scr[...] = vals_scr[n - 1]
+
+    return eval_tree
+
+
+def far_link_rows(trees: TreeTensors, window: int | None = None):
+    """(P, m, N) bool: row has a second-child link farther than the window."""
+    if window is None:
+        window = DEEP_WINDOW  # read at call time: tests shrink the window
+    n = trees.max_nodes
+    rows = jnp.arange(n, dtype=jnp.int32)
+    dist = rows - trees.c2
+    return (trees.c2 >= 0) & (dist > window)
+
+
+def rollout_available(
+    fset: FunctionSet, trees: TreeTensors, d: int, deep_ok: bool = False
+) -> bool:
+    # The trajectory kernel is gated at UNROLL_MAX_NODES (unrolled SSA
+    # ladder); the fitness kernel also covers deep trees up to
+    # DEEP_MAX_NODES via the windowed rolled-row variant (deep_ok=True).
+    limit = DEEP_MAX_NODES if deep_ok else UNROLL_MAX_NODES
     return (
         tpu_kernels_available()
-        and trees.max_nodes <= UNROLL_MAX_NODES
+        and trees.max_nodes <= limit
         and trees.batch_shape[-1] == d  # m == state dim
     )
 
@@ -515,11 +629,13 @@ def _fitness_impl(
         raise ValueError("rollout_sr_fitness_pallas requires a concrete time grid")
     dt = float(ts_np[1] - ts_np[0])
 
-    sub = SUBLANES
+    deep = n > UNROLL_MAX_NODES
+    sub = SUBLANES_DEEP if deep else SUBLANES
+    tile = sub * LANE
     lanes = p * b
-    pad = (-lanes) % TILE
+    pad = (-lanes) % tile
     lp = lanes + pad
-    grid = lp // TILE
+    grid = lp // tile
 
     def prep_tree(x, dtype):
         xt = jnp.moveaxis(x, 0, -1)
@@ -554,7 +670,7 @@ def _fitness_impl(
 
     kernel, roll_trees = _make_fitness_kernel(
         fset, n, m, t_steps, substeps, dt, method,
-        process_noise=process_noise_rows is not None,
+        process_noise=process_noise_rows is not None, sub=sub, deep=deep,
     )
     tree_spec = pl.BlockSpec(
         (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
@@ -562,27 +678,59 @@ def _fitness_impl(
     lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        tree_spec, tree_spec, tree_spec,
+        pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
+    ]
+    operands = [ops_l, c2_l, const_l, x0_l, ys_l]
+    scratch = [
+        pltpu.VMEM((m, sub, LANE), jnp.float32),
+        pltpu.VMEM((sub, LANE), jnp.float32),
+        pltpu.VMEM((2, rows, sub, LANE), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if deep:
+        # per-(tile, tree, row) "any lane links farther than the window"
+        # scalars, prefetched to SMEM: the in-kernel full-ladder fallback
+        # runs only where one of the tile's candidates actually needs it
+        far = far_link_rows(trees)  # (P, m, N) bool
+        if tile % b == 0:
+            cpt = tile // b  # candidates per lane tile
+            p_pad = grid * cpt
+            if p_pad > p:
+                far = jnp.pad(far, ((0, p_pad - p), (0, 0), (0, 0)))
+            far_any = far.reshape(grid, cpt, m, n).any(axis=1)
+        else:  # tiles straddle candidates: lane-level reduction (superset)
+            lane_cand = jnp.minimum(
+                jnp.arange(lp, dtype=jnp.int32) // b, p - 1
+            )
+            far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
+        in_specs.append(
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(far_any.astype(jnp.int32))
+        scratch += [
+            pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
+            pltpu.VMEM((n, sub, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
+        ]
+    elif roll_trees:
+        scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]
+
     err, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            tree_spec, tree_spec, tree_spec,
-            pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
-        ],
+        in_specs=in_specs,
         out_specs=(lane_out, lane_out),
         out_shape=(
             jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
             jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((m, sub, LANE), jnp.float32),
-            pltpu.VMEM((sub, LANE), jnp.float32),
-            pltpu.VMEM((2, rows, sub, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ] + ([pltpu.VMEM((m, sub, LANE), jnp.float32)] if roll_trees else []),
-    )(ops_l, c2_l, const_l, x0_l, ys_l)
+        scratch_shapes=scratch,
+    )(*operands)
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5

@@ -30,7 +30,7 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate, integrate_sde
+from ..integrators import integrate, integrate_adaptive, integrate_sde
 
 
 class DynamicPolicyEvaluator:
@@ -47,6 +47,9 @@ class DynamicPolicyEvaluator:
         remat: bool = False,
         interpreter: str = "auto",
         stochastic: bool = False,
+        rtol: float = 1e-4,
+        atol: float = 1e-4,
+        adaptive_method: str = "bosh3",
     ) -> None:
         self.env = env
         self.fset = fset
@@ -57,6 +60,9 @@ class DynamicPolicyEvaluator:
         self.remat = remat
         self.interpreter = interpreter
         self.stochastic = stochastic
+        self.rtol = rtol
+        self.atol = atol
+        self.adaptive_method = adaptive_method
 
     def _split(self, population: TreeTensors):
         s = self.state_size
@@ -150,12 +156,23 @@ class DynamicPolicyEvaluator:
         n_obs, n_ctrl = env.n_obs, env.n_control
         state_eq, readout = self._split(population[:, None])  # (P,1,m_i)
 
-        def drift(t, xa):  # xa: (P, B, latent + state_size)
+        def drift(t, xa):  # xa: (P, B, latent + state_size); t scalar or (P, B)
             x, a = xa[..., :latent], xa[..., latent:]
-            p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
-            y = jax.vmap(
-                jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
-            )(obs_keys, t, x, p_t)  # (P, B, n_obs)
+            if jnp.ndim(t):
+                # per-lane solver times (integrate_adaptive)
+                per_b = lambda tr: jax.vmap(
+                    lambda pp, t_s: env.params_at(pp, ts, t_s)
+                )(params, tr)
+                p_t = jax.vmap(per_b)(t)
+                y = jax.vmap(
+                    jax.vmap(env.f_obs, in_axes=(0, 0, 0, 0)),
+                    in_axes=(None, 0, 0, 0),
+                )(obs_keys, t, x, p_t)
+            else:
+                p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
+                y = jax.vmap(
+                    jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
+                )(obs_keys, t, x, p_t)  # (P, B, n_obs)
             zeros_y = jnp.zeros_like(y)
             zeros_u = jnp.zeros(y.shape[:-1] + (n_ctrl,))
             u = evaluate_trees(
@@ -164,9 +181,15 @@ class DynamicPolicyEvaluator:
                 self.fset,
                 impl=self.interpreter,
             )  # (P, B, n_control)
-            dx = jax.vmap(
-                jax.vmap(env.drift, in_axes=(None, 0, 0, 0)), in_axes=(None, 0, 0, None)
-            )(t, x, u, p_t)
+            if jnp.ndim(t):
+                dx = jax.vmap(
+                    jax.vmap(env.drift, in_axes=(0, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0),
+                )(t, x, u, p_t)
+            else:
+                dx = jax.vmap(
+                    jax.vmap(env.drift, in_axes=(None, 0, 0, 0)), in_axes=(None, 0, 0, None)
+                )(t, x, u, p_t)
             da = evaluate_trees(
                 state_eq,
                 self._data_vec(y, a, u, targets)[..., None, :],
@@ -176,6 +199,11 @@ class DynamicPolicyEvaluator:
             return jnp.concatenate([dx, da], axis=-1)
 
         def cond_alive(t, xa):
+            if jnp.ndim(t):
+                tb = jnp.broadcast_to(t, xa.shape[:-1])
+                return jax.vmap(jax.vmap(
+                    lambda t_s, xi: env.cond_alive(t_s, xi[:latent])
+                ))(tb, xa)
             return jax.vmap(jax.vmap(lambda xi: env.cond_alive(t, xi[:latent])))(xa)
 
         xa0 = jnp.concatenate([x0, jnp.zeros((b, self.state_size))], axis=-1)
@@ -196,6 +224,15 @@ class DynamicPolicyEvaluator:
             xas, alive = integrate_sde(
                 drift, diffusion, xa0, ts, data[3], method="euler",
                 substeps=self.substeps, cond_alive=cond_alive, remat=self.remat,
+            )
+        elif self.method == "adaptive":
+            # the notebooks' Dopri5+PIDController configuration
+            # (DynamicPolicy.ipynb cell 4), batched per-lane step control
+            xas, alive = integrate_adaptive(
+                drift, xa0, ts, rtol=self.rtol, atol=self.atol,
+                max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
+                cond_alive=cond_alive, remat=self.remat,
+                method=self.adaptive_method,
             )
         else:
             xas, alive = integrate(

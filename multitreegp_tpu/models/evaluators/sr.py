@@ -51,6 +51,7 @@ class SREvaluator:
         process_noise: float = 0.0,
         rtol: float = 1e-4,
         atol: float = 1e-6,
+        adaptive_method: str = "bosh3",
     ) -> None:
         self.fset = fset
         self.max_fitness = max_fitness
@@ -61,6 +62,7 @@ class SREvaluator:
         self.process_noise = process_noise
         self.rtol = rtol
         self.atol = atol
+        self.adaptive_method = adaptive_method
 
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
@@ -80,7 +82,7 @@ class SREvaluator:
                 rollout_sr_fitness_pallas,
             )
 
-            if rollout_available(self.fset, population, d):
+            if rollout_available(self.fset, population, d, deep_ok=True):
                 try:
                     if sde:
                         # SDE variant: exact integrate_sde kicks streamed;
@@ -161,7 +163,7 @@ class SREvaluator:
             return integrate_adaptive(
                 drift, x0, ts, rtol=self.rtol, atol=self.atol,
                 max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
-                remat=self.remat,
+                remat=self.remat, method=self.adaptive_method,
             )
         if self.interpreter in ("auto", "pallas"):
             # fused whole-rollout kernel: one launch per evaluation, tree

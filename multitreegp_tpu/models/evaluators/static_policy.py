@@ -29,7 +29,7 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate, integrate_sde
+from ..integrators import integrate, integrate_adaptive, integrate_sde
 
 
 class StaticPolicyEvaluator:
@@ -45,6 +45,9 @@ class StaticPolicyEvaluator:
         remat: bool = False,
         interpreter: str = "auto",
         stochastic: bool = False,
+        rtol: float = 1e-4,
+        atol: float = 1e-4,
+        adaptive_method: str = "bosh3",
     ) -> None:
         self.env = env
         self.fset = fset
@@ -54,6 +57,9 @@ class StaticPolicyEvaluator:
         self.remat = remat
         self.interpreter = interpreter
         self.stochastic = stochastic
+        self.rtol = rtol
+        self.atol = atol
+        self.adaptive_method = adaptive_method
 
     def _controls(self, policy: TreeTensors, obs: Array, targets: Array) -> Array:
         """u = trees([y, target]) for obs (..., B, n_obs), targets (B, n_t)."""
@@ -138,7 +144,24 @@ class StaticPolicyEvaluator:
         trees = population[:, None]  # (P, 1, m)
         env = self.env
 
-        def drift(t, x):  # x: (P, B, latent)
+        def drift(t, x):  # x: (P, B, latent); t scalar, or (P, B) (adaptive)
+            if jnp.ndim(t):
+                # per-lane solver times (integrate_adaptive): params, obs
+                # noise (fold_in deterministic in t) and drift all resolve
+                # per lane
+                per_b = lambda tr: jax.vmap(
+                    lambda pp, t_s: env.params_at(pp, ts, t_s)
+                )(params, tr)
+                p_t = jax.vmap(per_b)(t)  # leaves (P, B, ...)
+                y = jax.vmap(
+                    jax.vmap(env.f_obs, in_axes=(0, 0, 0, 0)),
+                    in_axes=(None, 0, 0, 0),
+                )(obs_keys, t, x, p_t)
+                u = self._controls(trees, y, targets)
+                return jax.vmap(
+                    jax.vmap(env.drift, in_axes=(0, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0),
+                )(t, x, u, p_t)
             p_t = jax.vmap(lambda pp: env.params_at(pp, ts, t))(params)
             y = jax.vmap(  # over P
                 jax.vmap(env.f_obs, in_axes=(0, None, 0, 0)), in_axes=(None, None, 0, None)
@@ -150,6 +173,9 @@ class StaticPolicyEvaluator:
             return dx
 
         def cond_alive(t, x):  # (P, B, latent) -> (P, B)
+            if jnp.ndim(t):
+                tb = jnp.broadcast_to(t, x.shape[:-1])
+                return jax.vmap(jax.vmap(env.cond_alive))(tb, x)
             return jax.vmap(jax.vmap(lambda xi: env.cond_alive(t, xi)))(x)
 
         x0b = jnp.broadcast_to(x0[None], (p, b, x0.shape[-1]))
@@ -166,6 +192,15 @@ class StaticPolicyEvaluator:
             xs, alive = integrate_sde(
                 drift, diffusion, x0b, ts, data[3], method="euler",
                 substeps=self.substeps, cond_alive=cond_alive, remat=self.remat,
+            )
+        elif self.method == "adaptive":
+            # the notebooks' Dopri5+PIDController configuration
+            # (StaticPolicy.ipynb cell 4), batched per-lane step control
+            xs, alive = integrate_adaptive(
+                drift, x0b, ts, rtol=self.rtol, atol=self.atol,
+                max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
+                cond_alive=cond_alive, remat=self.remat,
+                method=self.adaptive_method,
             )
         else:
             xs, alive = integrate(

@@ -121,12 +121,28 @@ def integrate(
     return xs, alives
 
 
-# Bogacki-Shampine 3(2) embedded pair — the adaptive method. Chosen over
-# Dopri5 for TPU: 3 stages/step with an embedded 2nd-order error estimate
-# gives PID step control at half Dopri5's cost; the notebooks' Dopri5+PID is
-# an accuracy choice, not a semantic one (SURVEY.md §7 design delta 3).
+# Embedded pairs for adaptive stepping. Bogacki-Shampine 3(2) is the TPU
+# default: 3 stages/step with an embedded 2nd-order error estimate gives PID
+# step control at under half Dopri5's cost. Dormand-Prince 5(4) — the
+# notebooks' actual solver (``SymbolicRegression.ipynb`` cell 6) — is
+# available for accuracy/parity work at 6 stages/step (no FSAL reuse: lanes
+# step independently, so the "last" stage of one step is not the first of
+# the next on rejected lanes).
 _BS_A = ((0.5,), (0.0, 0.75), (2 / 9, 1 / 3, 4 / 9))
 _BS_B_LOW = (7 / 24, 0.25, 1 / 3, 0.125)
+
+_DP_C = (0.2, 0.3, 0.8, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (0.2,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
 
 
 def integrate_adaptive(
@@ -139,21 +155,28 @@ def integrate_adaptive(
     cond_alive: Optional[Callable[[Array, Array], Array]] = None,
     safety: float = 0.9,
     remat: bool = False,
+    method: str = "bosh3",
 ) -> Tuple[Array, Array]:
     """PI-controlled adaptive integration on a fixed save grid.
 
     The notebooks use ``diffrax.Dopri5 + PIDController`` (e.g.
     ``SymbolicRegression.ipynb``); this is the batched TPU equivalent: every
-    lane carries its own ``(t, dt)`` and steps Bogacki-Shampine 3(2) inside a
-    bounded ``fori_loop`` per save interval — lanes accept/reject and resize
-    steps independently via masks, in lockstep control flow. Lanes that
-    exhaust ``max_steps_per_interval`` before reaching the save point are
-    declared dead (the reference's ``max_steps`` + ``throw=False`` behaviour).
+    lane carries its own ``(t, dt)`` and steps an embedded RK pair —
+    ``method="bosh3"`` (Bogacki-Shampine 3(2), the cheap TPU default) or
+    ``method="dopri5"`` (Dormand-Prince 5(4), the notebooks' solver) —
+    inside a bounded ``fori_loop`` per save interval. Lanes accept/reject
+    and resize steps independently via masks, in lockstep control flow.
+    Lanes that exhaust ``max_steps_per_interval`` before reaching the save
+    point are declared dead (the reference's ``max_steps`` + ``throw=False``
+    behaviour).
 
     Returns ``(xs (T, ..., d), alive (T, ...))`` like :func:`integrate`.
     """
+    if method not in ("bosh3", "dopri5"):
+        raise ValueError(f"unknown adaptive method {method!r}")
+    err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
 
-    def rk_step(t, x, dt):
+    def rk_step_bosh3(t, x, dt):
         dte = dt[..., None]
         k1 = drift(t, x)
         k2 = drift(t + 0.5 * dt, x + 0.5 * dte * k1)
@@ -167,6 +190,21 @@ def integrate_adaptive(
         scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_hi))
         err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale), axis=-1))
         return x_hi, err_norm
+
+    def rk_step_dopri5(t, x, dt):
+        dte = dt[..., None]
+        ks = [drift(t, x)]
+        for ci, ai in zip(_DP_C, _DP_A):
+            xi = x + dte * sum(a * k for a, k in zip(ai, ks))
+            ks.append(drift(t + ci * dt, xi))
+        x_hi = x + dte * sum(b * k for b, k in zip(_DP_B5, ks))
+        x_lo = x + dte * sum(b * k for b, k in zip(_DP_B4, ks))
+        err = x_hi - x_lo
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_hi))
+        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale), axis=-1))
+        return x_hi, err_norm
+
+    rk_step = rk_step_bosh3 if method == "bosh3" else rk_step_dopri5
 
     def interval(carry, t_pair):
         x, alive = carry
@@ -186,10 +224,10 @@ def integrate_adaptive(
                 accept = accept & cond_alive(t + dt_c, x_new)
             x = jnp.where(accept[..., None], x_new, x)
             t = jnp.where(accept, t + dt_c, t)
-            # PI controller: grow/shrink by err^(-1/order), clamped 0.2..5x
+            # I controller: grow/shrink by err^(-1/order), clamped 0.2..5x
             factor = jnp.where(
                 jnp.isfinite(err) & (err > 0.0),
-                jnp.clip(safety * err ** (-1.0 / 3.0), 0.2, 5.0),
+                jnp.clip(safety * err ** err_exponent, 0.2, 5.0),
                 jnp.where(ok, 5.0, 0.2),
             )
             dt = jnp.where(active, jnp.clip(dt_c * factor, span * 1e-3, span), dt)

@@ -76,3 +76,63 @@ def test_sr_evaluator_adaptive_path():
     f_fix = np.asarray(jax.jit(lambda p, d: ev_fix.evaluate_population(p, d))(pop, data))
     both_ok = (f < ev.max_fitness) & (f_fix < ev_fix.max_fitness)
     np.testing.assert_allclose(f[both_ok], f_fix[both_ok], rtol=0.05, atol=1e-3)
+
+
+def test_adaptive_dopri5_matches_exponential():
+    """The Dopri5 tableau (the notebooks' solver) hits tight tolerance with
+    far fewer steps than bosh3 at equal rtol."""
+    ts = jnp.arange(0.0, 3.01, 0.5)
+    x0 = jnp.asarray([[1.0], [2.0], [-0.5]])
+    xs, alive = integrate_adaptive(
+        lambda t, x: -x, x0, ts, rtol=1e-7, atol=1e-9, method="dopri5"
+    )
+    want = np.asarray(x0)[None] * np.exp(-np.asarray(ts))[:, None, None]
+    assert bool(alive.all())
+    np.testing.assert_allclose(np.asarray(xs), want, rtol=1e-5, atol=1e-7)
+
+
+def test_adaptive_dopri5_harmonic():
+    w = 6.0
+    drift = lambda t, x: jnp.stack([x[..., 1], -w * w * x[..., 0]], axis=-1)
+    ts = jnp.arange(0.0, 2.01, 0.25)
+    x0 = jnp.asarray([[1.0, 0.0]])
+    want = np.stack(
+        [np.cos(w * np.asarray(ts)), -w * np.sin(w * np.asarray(ts))], axis=-1
+    )[:, None, :]
+    xs, alive = integrate_adaptive(
+        drift, x0, ts, rtol=1e-6, atol=1e-8, max_steps_per_interval=64,
+        method="dopri5",
+    )
+    assert bool(alive.all())
+    assert np.abs(np.asarray(xs) - want).max() < 1e-4
+
+
+def test_policy_evaluator_adaptive_path():
+    """StaticPolicyEvaluator(method='adaptive') — the notebooks' Dopri5+PID
+    configuration — runs and returns finite fitness."""
+    import jax.random as jr
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+    from multitreegp_tpu.models.evaluators import (
+        StaticPolicyEvaluator,
+        generate_control_data,
+    )
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    env = HarmonicOscillator(0.0, 0.0)
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)],
+        [["y0", "y1", "tgt"]], [env.n_control],
+    )
+    ts = jnp.arange(0.0, 2.0, 0.2)
+    data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=2)
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(1), 4)
+    ev = StaticPolicyEvaluator(
+        env, fset, method="adaptive", adaptive_method="dopri5",
+        interpreter="ladder",
+    )
+    fit = jax.jit(lambda p: ev.evaluate_population(p, data))(pop)
+    assert fit.shape == (4,)
+    assert bool(jnp.isfinite(fit).all())

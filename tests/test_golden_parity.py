@@ -44,3 +44,13 @@ def test_golden_dynamic_parity_small(tmp_path):
         population_size=20, batch_size=4, horizon=2.0,
         report_path=str(tmp_path / "report.md"),
     )
+
+
+def test_golden_adaptive_parity_small(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+
+    golden_parity.main_adaptive(
+        population_size=20, batch_size=4, horizon=3.0,
+        report_path=str(tmp_path / "report.md"),
+    )

@@ -124,3 +124,95 @@ def test_fitness_kernel_sde_matches_integrate_sde():
     m = af & al
     dd = np.abs(np.asarray(mse)[m] - mse_ref[m]) / (np.abs(mse_ref[m]) + 1e-9)
     assert dd.max() < 1e-5, dd.max()
+
+
+def test_deep_fitness_kernel_matches_general(monkeypatch):
+    """Deep-tree fitness kernel (windowed gather + far-link full-ladder
+    fallback, rolled rows) vs the ladder rollout — exact. Interpret mode is
+    too slow for real N>64 shapes, so the deep path is engaged at N=16 by
+    shrinking the unroll gate and the window (links beyond the shrunken
+    window exercise the fallback ladder; asserted present)."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    monkeypatch.setattr(prl, "UNROLL_MAX_NODES", 8)
+    monkeypatch.setattr(prl, "DEEP_WINDOW", 3)
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.6, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(3), 4)
+    assert bool(prl.far_link_rows(pop).any()), "must exercise the fallback"
+    p, b, d = 4, 2, 2
+    with pltpu.force_tpu_interpret_mode():
+        mse, alive = prl.rollout_sr_fitness_pallas(
+            pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
+            substeps=1,
+        )
+    ev = SREvaluator(fset, substeps=1, interpreter="ladder")
+    xs, alive_l = ev._rollout(pop, x0s, ts, keys)
+    err = np.asarray(xs) - np.asarray(jnp.transpose(ys, (1, 0, 2)))[:, None]
+    mse_ref = np.mean(np.sum(err**2, axis=-1), axis=0)
+    af, al = np.asarray(alive), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    mask = af & al
+    dd = np.abs(np.asarray(mse)[mask] - mse_ref[mask]) / (np.abs(mse_ref[mask]) + 1e-9)
+    assert dd.max() < 1e-5, dd.max()
+
+
+def test_interpreter_rolled_kernel_windowed_gather(monkeypatch):
+    """Per-call interpreter kernels (rolled forward for N > unroll gate, and
+    the backward reverse-sweep) with the windowed gather + far fallback:
+    exact vs the ladder XLA path and its AD. Window shrunk so both gather
+    paths execute."""
+    from multitreegp_tpu.core import pallas_interpreter as pi
+    from multitreegp_tpu.core.interpreter import evaluate_trees_ladder
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    monkeypatch.setattr(pi, "UNROLL_MAX_NODES", 8)
+    monkeypatch.setattr(pi, "GATHER_WINDOW", 3)
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("sin", jnp.sin, 1, 0.2)],
+        [["x0", "x1"]], [2],
+    )
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(5), 6)
+    from multitreegp_tpu.core.pallas_rollout import far_link_rows
+
+    assert bool(far_link_rows(pop, window=3).any()), "need far links"
+    data = jr.normal(jr.PRNGKey(6), (6, 2, 2))
+
+    want = evaluate_trees_ladder(pop, data, fset)
+    with pltpu.force_tpu_interpret_mode():
+        got = pi.evaluate_trees_pallas(pop, data, fset)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+    # backward: d(sum of finite roots)/dconst and /ddata
+    def loss_ladder(const, d):
+        out = evaluate_trees_ladder(pop._replace(const=const), d, fset)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    def loss_kernel(const, d):
+        out = pi.evaluate_trees_pallas(pop._replace(const=const), d, fset)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    gl_c, gl_d = jax.grad(loss_ladder, argnums=(0, 1))(pop.const, data)
+    with pltpu.force_tpu_interpret_mode():
+        gk_c, gk_d = jax.grad(loss_kernel, argnums=(0, 1))(pop.const, data)
+    np.testing.assert_allclose(np.asarray(gk_c), np.asarray(gl_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_d), np.asarray(gl_d),
+                               rtol=1e-5, atol=1e-5)

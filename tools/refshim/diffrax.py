@@ -19,9 +19,17 @@ Semantics implemented (matching diffrax under the fixed-step default config):
 * ``LinearInterpolation``: piecewise-linear ``.evaluate(t)`` (time-varying
   physics parameters in the control environments).
 
-NOT implemented: adaptive stepping, implicit solvers, SDE terms (the
-reference's SDE branch is legacy/dead code) — using those raises rather than
-silently mis-integrating.
+Adaptive stepping (the notebooks' actual configuration, e.g.
+``SymbolicRegression.ipynb`` cell 6: ``Dopri5() + PIDController(atol=1e-6,
+rtol=1e-6, dtmin=0.001)``) is implemented as a Dormand-Prince 5(4) embedded
+pair with diffrax's default I-controller semantics (safety 0.9, factor
+clamp [0.2, 10], exponent -1/5, ``force_dtmin`` acceptance at the floor,
+global ``max_steps`` budget with unreached saves = inf under
+``throw=False``). Not bit-identical to real diffrax (different fp ordering),
+but tolerance-accurate: both integrate to the controller's error target.
+
+NOT implemented: implicit solvers, SDE terms (the reference's SDE branch is
+legacy/dead code) — using those raises rather than silently mis-integrating.
 """
 from __future__ import annotations
 
@@ -46,8 +54,41 @@ class EulerHeun(AbstractSolver):
     pass
 
 
+class Dopri5(AbstractSolver):
+    pass
+
+
 class ConstantStepSize(AbstractStepSizeController):
     pass
+
+
+class PIDController(AbstractStepSizeController):
+    def __init__(self, rtol, atol, dtmin=None, dtmax=None, pcoeff=0.0,
+                 icoeff=1.0, dcoeff=0.0, safety=0.9, factormin=0.2,
+                 factormax=10.0, force_dtmin=True, **k):
+        self.rtol = rtol
+        self.atol = atol
+        self.dtmin = dtmin
+        self.dtmax = dtmax
+        self.safety = safety
+        self.factormin = factormin
+        self.factormax = factormax
+        self.force_dtmin = force_dtmin
+
+
+# Dormand-Prince 5(4) tableau (Dopri5)
+_DP_C = (0.2, 0.3, 0.8, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (0.2,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
 
 
 class DirectAdjoint:
@@ -128,12 +169,19 @@ def diffeqsolve(
     event=None,
     **kwargs,
 ):
+    if isinstance(solver, Dopri5):
+        if not isinstance(stepsize_controller, PIDController):
+            raise NotImplementedError("shim: Dopri5 requires a PIDController")
+        return _solve_adaptive(
+            terms, t0, t1, dt0, y0, args, saveat, max_steps,
+            stepsize_controller, event,
+        )
     if not isinstance(solver, Euler):
-        raise NotImplementedError("shim supports the reference default Euler() only")
+        raise NotImplementedError("shim supports Euler() and Dopri5() only")
     if stepsize_controller is not None and not isinstance(
         stepsize_controller, ConstantStepSize
     ):
-        raise NotImplementedError("shim supports ConstantStepSize() only")
+        raise NotImplementedError("shim: Euler requires ConstantStepSize()")
     ts = saveat.ts
     ts_np = np.asarray(jax.device_get(ts), np.float64)
     if ts_np.ndim != 1 or isinstance(ts, jax.core.Tracer):
@@ -168,5 +216,84 @@ def diffeqsolve(
     for i in range(len(ts_np) - 1):
         n = max(1, int(round((ts_np[i + 1] - ts_np[i]) / dt0)))
         y, alive = interval(y, alive, ts_np[i], ts_np[i + 1], n)
+        ys.append(jnp.where(alive, y, inf))
+    return Solution(ts=jnp.asarray(ts), ys=jnp.stack(ys))
+
+
+def _solve_adaptive(terms, t0, t1, dt0, y0, args, saveat, max_steps, ctrl,
+                    event):
+    """Dopri5 + I-controller adaptive solve on the save grid (diffrax default
+    PID semantics: pcoeff=0, icoeff=1 -> factor = safety * err^(-1/5))."""
+    ts = saveat.ts
+    ts_np = np.asarray(jax.device_get(ts), np.float64)
+    if ts_np.ndim != 1 or isinstance(ts, jax.core.Tracer):
+        raise ValueError("shim needs a concrete 1-D SaveAt.ts (call outside jit)")
+    f = terms.vector_field
+    rtol, atol = float(ctrl.rtol), float(ctrl.atol)
+    dtmin = float(ctrl.dtmin) if ctrl.dtmin is not None else 0.0
+    safety, fmin, fmax = ctrl.safety, ctrl.factormin, ctrl.factormax
+    budget = int(max_steps) if max_steps is not None else 4096
+
+    def dp_step(t, y, h):
+        ks = [f(t, y, args)]
+        for ci, ai in zip(_DP_C, _DP_A):
+            yi = y + h * sum(a * k for a, k in zip(ai, ks))
+            ks.append(f(t + ci * h, yi, args))
+        y5 = y + h * sum(b * k for b, k in zip(_DP_B5, ks))
+        y4 = y + h * sum(b * k for b, k in zip(_DP_B4, ks))
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err = jnp.sqrt(jnp.mean(jnp.square((y5 - y4) / scale)))
+        return y5, err
+
+    def interval(y, alive, steps, ta, tb, h):
+        def cond(state):
+            t, h, y, alive, steps = state
+            return jnp.any(alive & (t < tb - 1e-9) & (steps < budget))
+
+        def body(state):
+            t, h, y, alive, steps = state
+            active = alive & (t < tb - 1e-9) & (steps < budget)
+            h_c = jnp.minimum(h, jnp.float32(tb) - t)
+            y_new, err = dp_step(t, y, h_c)
+            ok = jnp.all(jnp.isfinite(y_new)) & jnp.isfinite(err)
+            at_floor = h_c <= dtmin * (1 + 1e-6)
+            accept = active & ok & ((err <= 1.0) | at_floor)  # force_dtmin
+            if event is not None:
+                accept_ok = event.cond_fn(t + h_c, y_new, args) > 0
+                dead_now = accept & ~accept_ok
+                alive = alive & ~dead_now
+                accept = accept & accept_ok
+            # a NaN step at the floor cannot make progress: halt the lane
+            alive = alive & (ok | ~active | ~at_floor)
+            y = jnp.where(accept, y_new, y)
+            t = jnp.where(accept, t + h_c, t)
+            factor = jnp.where(
+                jnp.isfinite(err) & (err > 0.0),
+                jnp.clip(safety * err ** (-0.2), fmin, fmax),
+                jnp.where(ok, fmax, fmin),
+            )
+            h = jnp.where(active, jnp.maximum(h_c * factor, dtmin), h)
+            steps = steps + jnp.where(active, 1, 0)
+            return t, h, y, alive, steps
+
+        t, h, y, alive, steps = jax.lax.while_loop(
+            cond, body, (jnp.float32(ta), h, y, alive, steps)
+        )
+        # budget exhausted before the save point -> unsuccessful (throw=False)
+        alive = alive & (t >= tb - 1e-9)
+        return y, alive, steps, h
+
+    alive = jnp.asarray(True)
+    if event is not None:
+        alive = alive & (event.cond_fn(jnp.float32(ts_np[0]), y0, args) > 0)
+    y = y0
+    h = jnp.float32(dt0)
+    steps = jnp.int32(0)
+    inf = jnp.full_like(y0, jnp.inf)
+    ys = [jnp.where(alive, y0, inf)]
+    for i in range(len(ts_np) - 1):
+        y, alive, steps, h = interval(
+            y, alive, steps, ts_np[i], ts_np[i + 1], h
+        )
         ys.append(jnp.where(alive, y, inf))
     return Solution(ts=jnp.asarray(ts), ys=jnp.stack(ys))
