@@ -178,12 +178,23 @@ def main_policy(
     fitness = jax.block_until_ready(eval_fn(pop))
     assert bool(jnp.isfinite(fitness).all())
 
+    # steady-state shape, same methodology as main(): chain K evaluations in
+    # one jitted scan so the ~50 ms tunnel dispatch latency doesn't pollute
+    # the measurement (r1 quirk: single-eval timing mixed ~50 ms into 113 ms)
+    chain_k = 5
+
+    def chained(const, _):
+        fit = evaluator.evaluate_population(pop._replace(const=const), data)
+        return const + 1e-30 * jnp.min(fit), fit
+
+    run_k = jax.jit(lambda c: jax.lax.scan(chained, c, None, length=chain_k)[1])
+    jax.block_until_ready(run_k(pop.const))  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(eval_fn(pop))
+        jax.block_until_ready(run_k(pop.const))
         times.append(time.perf_counter() - t0)
-    dt_best = min(times)
+    dt_best = min(times) / chain_k
 
     node_evals = node_evals_per_evaluation(
         population_size=population_size,

@@ -284,19 +284,31 @@ class GeneticProgramming:
         )
         return pop, flat_fit.reshape(self.num_populations, self.population_size)
 
-    def _eval_fn(self, data):
+    # caches are keyed on id(data) and BOUNDED: each entry's closure pins its
+    # data alive (so ids cannot collide while cached), and the eviction cap
+    # keeps a long-lived strategy fed with many distinct data objects from
+    # accumulating compiled programs without limit
+    _CACHE_CAP = 8
+
+    def _cached(self, cache: dict, data, build):
         key = id(data)
-        if key not in self._eval_cache:
-            self._eval_cache[key] = jax.jit(lambda p: self._evaluate_core(p, data))
-        return self._eval_cache[key]
+        if key not in cache:
+            if len(cache) >= self._CACHE_CAP:
+                cache.pop(next(iter(cache)))  # evict oldest (insertion order)
+            cache[key] = (build(), data)  # keep data alive with its program
+        return cache[key][0]
+
+    def _eval_fn(self, data):
+        return self._cached(
+            self._eval_cache, data,
+            lambda: jax.jit(lambda p: self._evaluate_core(p, data)),
+        )
 
     def _optimise_fn(self, data):
-        key = id(data)
-        if key not in self._optimise_cache:
-            self._optimise_cache[key] = jax.jit(
-                lambda p, f: self._optimise_core(p, f, data)
-            )
-        return self._optimise_cache[key]
+        return self._cached(
+            self._optimise_cache, data,
+            lambda: jax.jit(lambda p, f: self._optimise_core(p, f, data)),
+        )
 
     def evaluate_population(
         self, populations: TreeTensors, data
@@ -562,6 +574,8 @@ class GeneticProgramming:
         if not hasattr(self, "_fit_cache"):
             self._fit_cache = {}
         if cache_key not in self._fit_cache:
+            if len(self._fit_cache) >= self._CACHE_CAP:
+                self._fit_cache.pop(next(iter(self._fit_cache)))
             self._fit_cache[cache_key] = jax.jit(
                 lambda carry, gens: jax.lax.scan(generation, carry, gens)
             )
