@@ -43,8 +43,11 @@ except Exception:  # pragma: no cover
 
 LANE = 128
 
-# Ladder cost grows O(max_nodes^2); beyond this the XLA path wins compile time.
-MAX_KERNEL_NODES = 64
+# Structural moves are log2(N)-stage shifts (tile_surgery.shift_rows), so the
+# kernel graph is nearly flat in max_nodes (24.0k HLO lines at N=128 vs 22.9k
+# at N=32; the old per-row select ladder hit 52.8k at N=128). 256 matches the
+# fused rollout's windowed-gather coverage (pallas_rollout.DEEP_MAX_NODES).
+MAX_KERNEL_NODES = 256
 
 
 def _make_kernel(cfg: ts.SurgeryConfig, n: int, v: int):

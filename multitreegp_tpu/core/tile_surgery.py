@@ -13,9 +13,11 @@ Two deliberate representation deltas from the XLA ops make this kernel-shaped
 * only ``(ops, const)`` are carried — child pointers are redundant for
   root-last/children-first trees and are rebuilt once at the end from opcode
   arities (:func:`trees.rebuild_pointers`), so surgery never fixes pointers;
-* all per-lane dynamic row indexing is a *select ladder* over the (static) N
-  rows — dense VPU compare/selects instead of XLA gathers, which is what makes
-  the fused kernel fast where the vmapped-``lax.switch`` XLA reproduce path is
+* all per-lane dynamic row movement is dense VPU work instead of XLA
+  gathers — structural moves are log2(N)-stage cyclic shifts
+  (:func:`shift_rows`), point reads are masked reduces (:func:`row_at`),
+  categorical draws are Gumbel-argmax ladders — which is what makes the
+  fused kernel fast where the vmapped-``lax.switch`` XLA reproduce path is
   launch/gather-bound (measured 540 ms/generation at pop 4096; see
   ``ops/pallas_evolve.py``).
 
@@ -136,13 +138,32 @@ def span_at(ops: Array, idx: Array, cfg: SurgeryConfig, csum: Array | None = Non
     return (idx - k + 1).astype(jnp.int32)
 
 
-def gather_rows(tile: Array, src: Array, valid: Array, fill) -> Array:
-    """out[j, l] = tile[src[j, l], l] where valid else fill — select ladder."""
-    n = tile.shape[0]
-    acc = jnp.full_like(tile, fill)
-    for i in range(n):
-        acc = jnp.where(src == i, tile[i : i + 1, :], acc)
-    return jnp.where(valid, acc, jnp.full_like(tile, fill))
+def shift_rows(tile: Array, delta: Array, valid: Array, fill) -> Array:
+    """out[j, l] = tile[j + delta[l], l] where valid and in-range else fill.
+
+    Every structural move in the surgery is a ROW-RANGE SHIFT: ``delta`` is
+    constant down each lane (a subtree extraction/splice/composition moves a
+    contiguous block by one per-lane offset). That makes an O(N) per-row
+    select ladder unnecessary — a cyclic shift by ``delta`` decomposes into
+    log2(N) static roll stages (slice+concat, which Mosaic lowers as sublane
+    copies), each applied per lane where the corresponding bit of
+    ``delta mod N`` is set. Out-of-range sources (which the cyclic roll
+    would wrap) are masked to ``fill``.
+    """
+    n, l = tile.shape
+    ri = rows_iota(n, l)
+    delta = jnp.broadcast_to(jnp.asarray(delta, jnp.int32), (1, l))
+    src = ri + delta
+    ok = valid & (src >= 0) & (src < n)
+    s = jnp.mod(delta, n)  # cyclic amount, [0, n)
+    x = tile
+    k = 1
+    while k < n:
+        bit = (s // k) % 2 == 1  # (1, L): apply this stage's roll per lane
+        rolled = jnp.concatenate([x[k:], x[:k]], axis=0)
+        x = jnp.where(bit, rolled, x)
+        k *= 2
+    return jnp.where(ok, x, jnp.full_like(tile, fill))
 
 
 # ------------------------------------------------------- structural primitives
@@ -155,11 +176,11 @@ def extract_block(
     (semantics of ``ops.splice.extract_subtree`` minus pointers)."""
     n, l = ops.shape
     ri = rows_iota(n, l)
-    src = ri + idx - (n - 1)
     valid = ri > (n - 1 - span)
+    delta = idx - (n - 1)
     return (
-        gather_rows(ops, src, valid, EMPTY),
-        gather_rows(const, src, valid, 0.0),
+        shift_rows(ops, delta, valid, EMPTY),
+        shift_rows(const, delta, valid, 0.0),
     )
 
 
@@ -180,14 +201,15 @@ def splice_tiles(
     in_above = ri > idx
     in_block = (ri > idx - bs) & ~in_above
 
-    src_tree = jnp.where(in_above, ri, ri + delta)
-    valid_tree = (in_above | ((ri + delta >= 0) & (ri + delta <= idx - old_size))) & ~in_block
-    t_ops = gather_rows(ops, src_tree, valid_tree, EMPTY)
-    t_const = gather_rows(const, src_tree, valid_tree, 0.0)
+    below_valid = (ri + delta <= idx - old_size) & ~in_block & ~in_above
+    sh_ops = shift_rows(ops, delta, below_valid, EMPTY)
+    sh_const = shift_rows(const, delta, below_valid, 0.0)
+    t_ops = jnp.where(in_above, ops, sh_ops)
+    t_const = jnp.where(in_above, const, sh_const)
 
-    src_blk = ri + (n - 1) - idx
-    blk_ops = gather_rows(b_ops, src_blk, in_block, EMPTY)
-    blk_const = gather_rows(b_const, src_blk, in_block, 0.0)
+    blk_delta = (n - 1) - idx
+    blk_ops = shift_rows(b_ops, blk_delta, in_block, EMPTY)
+    blk_const = shift_rows(b_const, blk_delta, in_block, 0.0)
     return (
         jnp.where(in_block, blk_ops, t_ops),
         jnp.where(in_block, blk_const, t_const),
@@ -242,8 +264,8 @@ def compose2_tiles(
 
     off = 1 + a_size
     in_b = (ri > n - 1 - off - b_size) & (ri <= n - 1 - off)
-    b_sh_ops = gather_rows(b_ops, ri + off, in_b, EMPTY)
-    b_sh_const = gather_rows(b_const, ri + off, in_b, 0.0)
+    b_sh_ops = shift_rows(b_ops, off, in_b, EMPTY)
+    b_sh_const = shift_rows(b_const, off, in_b, 0.0)
 
     out_ops = jnp.where(
         root, op, jnp.where(in_b, b_sh_ops, jnp.where(a_valid, a_sh_ops, EMPTY))
@@ -426,10 +448,9 @@ def _subtrees_equal_tile(
     n, l = ops1.shape
     ri = rows_iota(n, l)
     # align t2 rows so that t2s[j] = t2[j - n1 + n2]
-    src = ri - n1 + n2
     inrange = (ri > n1 - s1) & (ri <= n1)
-    t2s_ops = gather_rows(ops2, src, inrange, -1)
-    t2s_const = gather_rows(const2, src, inrange, 0.0)
+    t2s_ops = shift_rows(ops2, n2 - n1, inrange, -1)
+    t2s_const = shift_rows(const2, n2 - n1, inrange, 0.0)
     same_leaf = (ops1 == CONST) & (t2s_ops == CONST) & (const1 == t2s_const)
     rows_eq = ((ops1 == t2s_ops) & (ops1 > CONST)) | same_leaf
     # int-valued selects only: mosaic mishandles bool-valued jnp.where here

@@ -158,8 +158,12 @@ def test_fused_policy_rollouts_match_general():
 
 
 @requires_tpu
-def test_fused_reproduction_kernel():
-    """One-launch Pallas reproduce: valid trees, elites kept, migration gen."""
+@pytest.mark.parametrize("max_nodes", [32, 128])
+def test_fused_reproduction_kernel(max_nodes):
+    """One-launch Pallas reproduce: valid trees, elites kept, migration gen.
+
+    N=128 exercises the log2(N)-stage shift_rows surgery (the deep-tree
+    reproduction path enabled by MAX_KERNEL_NODES=256)."""
     from multitreegp_tpu.core.trees import validate_host
     from multitreegp_tpu.ops.initialization import make_population_sampler
     from multitreegp_tpu.ops.pallas_evolve import make_evolve_populations_fused
@@ -171,11 +175,12 @@ def test_fused_reproduction_kernel():
         islands, 7, (0.6, 0.9), (1.0, 0.5), (0.9, 0.4), (0.1, 0.5), (0.0, 0.1)
     )
     fused = jax.jit(make_evolve_populations_fused(
-        fset, pop_size, elite, 7, 10, 13, rtp, rp, tp, max_nodes=32, max_init_depth=4
+        fset, pop_size, elite, 7, 10, 13, rtp, rp, tp,
+        max_nodes=max_nodes, max_init_depth=4,
     ))
-    pops = jax.vmap(lambda k: make_population_sampler(fset, 4, 32)(k, pop_size))(
-        jr.split(jr.PRNGKey(0), islands)
-    )
+    pops = jax.vmap(
+        lambda k: make_population_sampler(fset, 4, max_nodes)(k, pop_size)
+    )(jr.split(jr.PRNGKey(0), islands))
     fitness = jr.uniform(jr.PRNGKey(1), (islands, pop_size))
     out = jax.block_until_ready(fused(pops, fitness, jr.PRNGKey(2), jnp.int32(0)))
     validate_host(out, fset.slots)
@@ -186,6 +191,31 @@ def test_fused_reproduction_kernel():
         )
     out2 = jax.block_until_ready(fused(pops, fitness, jr.PRNGKey(3), jnp.int32(9)))
     validate_host(out2, fset.slots)
+
+
+@requires_tpu
+def test_fused_rollout_deep_trees():
+    """Deep-tree (N=128) fused fitness kernel — the windowed-gather rolled-row
+    path — vs the ladder reference. Mosaic-legalization + parity check for the
+    DEEP_MAX_NODES coverage."""
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    env = VanDerPolOscillator(0.0, 0.0)
+    pop = make_population_sampler(fset, 7, 128)(jr.PRNGKey(1), 256)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=8, substeps=8)
+
+    ev_f = SREvaluator(fset, substeps=1)  # auto -> deep windowed kernel
+    ev_r = SREvaluator(fset, substeps=1, interpreter="ladder")
+    a = np.asarray(jax.jit(lambda p: ev_f.evaluate_population(p, data))(pop))
+    b = np.asarray(jax.jit(lambda p: ev_r.evaluate_population(p, data))(pop))
+    both = (a < ev_f.max_fitness) & (b < ev_r.max_fitness)
+    rel = np.abs(a[both] - b[both]) / (np.abs(b[both]) + 1e-6)
+    assert (rel < 1e-3).mean() > 0.99
+    assert np.mean((a >= 1e5) == (b >= 1e5)) > 0.995
 
 
 @requires_tpu

@@ -25,7 +25,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_reproduce_pairs_kernel_invariants():
+@pytest.mark.parametrize("max_nodes,p", [(32, 64), (128, 16)])
+def test_reproduce_pairs_kernel_invariants(max_nodes, p):
     from multitreegp_tpu.core import tile_surgery as ts
     from multitreegp_tpu.core.pallas_reproduction import reproduce_pairs_pallas
     from multitreegp_tpu.core.registry import build_function_set
@@ -37,10 +38,9 @@ def test_reproduce_pairs_kernel_invariants():
          ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
         [["x0", "x1"]], [2],
     )
-    cfg = ts.make_config(fset, 32, 4)
-    p = 64
-    left = make_population_sampler(fset, 4, 32)(jr.PRNGKey(0), p)
-    right = make_population_sampler(fset, 4, 32)(jr.PRNGKey(1), p)
+    cfg = ts.make_config(fset, max_nodes, 4)
+    left = make_population_sampler(fset, 4, max_nodes)(jr.PRNGKey(0), p)
+    right = make_population_sampler(fset, 4, max_nodes)(jr.PRNGKey(1), p)
     cx = jr.bernoulli(jr.PRNGKey(2), 0.4, (p, 2))
     act1 = jr.randint(jr.PRNGKey(3), (p, 2), 0, 3)
     act2 = jr.randint(jr.PRNGKey(4), (p, 2), 0, 3)
