@@ -143,7 +143,7 @@ def main(
 
 
 def main_policy(
-    population_size: int = 512,
+    population_size: int = 4096,
     batch_size: int = 16,
     horizon: float = 50.0,
     dt: float = 0.2,
@@ -151,8 +151,10 @@ def main_policy(
     max_nodes: int = 30,
     repeats: int = 5,
 ):
-    """Closed-loop control workload: the StaticPolicy notebook shape
-    (Acrobot swing-up) through the fused policy rollout kernel."""
+    """Closed-loop control workload (Acrobot swing-up) through the fused
+    policy rollout kernel. Default pop=4096 — the north star's literal shape
+    ("pop-4096 ODE-policy workload", BASELINE.json); ``policy_nb`` keeps the
+    StaticPolicy-notebook population (512) for comparison with r1 numbers."""
     from multitreegp_tpu.core.registry import build_function_set
     from multitreegp_tpu.models.environments import Acrobot
     from multitreegp_tpu.models.evaluators import (
@@ -227,6 +229,7 @@ def main_generations(
     dt: float = 0.2,
     generations: int = 20,
     max_nodes: int = 32,
+    max_init_depth: int = 4,
 ):
     """Full-generation throughput: evaluate + select + crossover/mutate +
     migrate, fused on device (BASELINE.json: 'generations/sec at pop=4096')."""
@@ -247,6 +250,7 @@ def main_generations(
         layer_sizes=[2],
         num_populations=8,
         max_nodes=max_nodes,
+        max_init_depth=max_init_depth,
     )
     warm, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)  # compile
     jax.block_until_ready(warm)
@@ -281,7 +285,13 @@ if __name__ == "__main__":
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
     if cfg == "policy":
         main_policy()
+    elif cfg == "policy_nb":
+        main_policy(population_size=512)
     elif cfg == "gen":
         main_generations()
+    elif cfg == "gen_deep":
+        # end-to-end generations with deep trees: the N<=256 fused reproduce
+        # (shift-rows surgery) + the windowed deep rollout, one launch each
+        main_generations(max_nodes=128, max_init_depth=7)
     else:
         main(**CONFIGS[cfg])
