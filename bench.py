@@ -22,7 +22,8 @@ import jax.random as jr
 TARGET = 1.0e9  # node-evals/sec/chip north star (BASELINE.json)
 
 
-def wait_for_backend(budget_s: float = 240.0, probe_interval_s: float = 20.0) -> bool:
+def wait_for_backend(budget_s: float | None = None,
+                     probe_interval_s: float = 20.0) -> bool:
     """Bounded retry/backoff on backend init before any real work.
 
     The axon tunnel can be transiently UNAVAILABLE (a killed computation wedges
@@ -32,6 +33,9 @@ def wait_for_backend(budget_s: float = 240.0, probe_interval_s: float = 20.0) ->
     True on success; on failure the caller proceeds anyway (the real workload
     may still succeed if the backend recovers mid-run).
     """
+    if budget_s is None:
+        import os
+        budget_s = float(os.environ.get("MTGP_BENCH_PROBE_BUDGET_S", 240.0))
     t0 = time.monotonic()
     attempt = 0
     while True:

@@ -368,6 +368,28 @@ class GeneticProgramming:
     def to_string(self, candidate: TreeTensors) -> str:
         return candidate_to_string(candidate, self.fset)
 
+    def to_callable(self, candidate: TreeTensors, impl: str = "auto"):
+        """Deployment surface: compile an evolved candidate into a standalone
+        jitted function ``f(data) -> outputs``.
+
+        ``data`` is ``(..., V)`` flat variable vectors in the function set's
+        variable order (the reference's interpreter input contract,
+        ``genetic_programming.py:30-31,201``); any leading batch dims work.
+        Returns ``(..., num_trees)`` root values, one column per tree in
+        layer order — e.g. a found controller runs as ``u = f(obs_target)``
+        with no framework objects in the loop. The returned function is a
+        plain jitted JAX callable: composable with ``vmap``/``grad`` and
+        exportable like any other jaxpr.
+        """
+        from .core.interpreter import evaluate_trees
+
+        fset = self.fset
+
+        def f(data: Array) -> Array:
+            return evaluate_trees(candidate, data[..., None, :], fset, impl=impl)
+
+        return jax.jit(f)
+
     # ------------------------------------------------------- fused fit loop
 
     def fit(

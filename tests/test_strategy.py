@@ -200,3 +200,21 @@ def test_fit_checkpoint_and_resume(tmp_path):
     )
     # history: gens 0-2 come from the checkpoint, 3-5 from the resumed scan
     np.testing.assert_array_equal(np.asarray(bf_full), np.asarray(bf_res))
+
+
+def test_to_callable_matches_tree_evaluator(sr_setup):
+    strategy, _data = sr_setup
+    pops = strategy.initialize_population(jr.PRNGKey(7))
+    candidate = jax.tree_util.tree_map(lambda x: x[0, 0], pops)
+
+    f = strategy.to_callable(candidate)
+    batch = jr.normal(jr.PRNGKey(8), (5, 2))
+    out = f(batch)
+    assert out.shape == (5, strategy.num_trees)
+
+    want = jax.vmap(lambda v: strategy.tree_evaluator(candidate, v))(batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+    # plain JAX callable: vmap/grad compose
+    g = jax.grad(lambda v: jnp.sum(f(v)))(batch[0])
+    assert g.shape == (2,) and np.isfinite(np.asarray(g)).all()

@@ -34,16 +34,31 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 
 def reference_run(data, seeds, generations, population_size, num_islands,
-                  operator_list, dt0):
+                  operator_list, dt0, solver_config: str = "euler"):
     from MultiTreeGP.evaluators.SR_evaluator import Evaluator as RefEvaluator
     from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    if solver_config == "adaptive":
+        # the notebook's actual solver (SymbolicRegression.ipynb cell 6):
+        # Dopri5 + PIDController, executed via the shim's adaptive path
+        import diffrax
+
+        make_evaluator = lambda: RefEvaluator(
+            solver=diffrax.Dopri5(), dt0=dt0,
+            stepsize_controller=diffrax.PIDController(
+                atol=1e-6, rtol=1e-6, dtmin=0.001
+            ),
+            max_steps=500,
+        )
+    else:
+        make_evaluator = lambda: RefEvaluator(dt0=dt0)
 
     curves = []
     for seed in seeds:
         ref_gp = RefGP(
             num_generations=generations,
             population_size=population_size,
-            fitness_function=RefEvaluator(dt0=dt0),
+            fitness_function=make_evaluator(),
             operator_list=operator_list,
             variable_list=[["x0", "x1"]],
             layer_sizes=jnp.array([2]),
@@ -87,18 +102,27 @@ def reference_run(data, seeds, generations, population_size, num_islands,
 
 
 def our_run(data, seeds, generations, population_size, num_islands,
-            operator_list, substeps):
+            operator_list, substeps, solver_config: str = "euler"):
     from multitreegp_tpu import GeneticProgramming
     from multitreegp_tpu.models.evaluators import SREvaluator
+
+    if solver_config == "adaptive":
+        # matches golden_parity.main_adaptive: per-lane Dopri5(4) + PID
+        make_evaluator = lambda: SREvaluator(
+            method="adaptive", adaptive_method="dopri5",
+            rtol=1e-6, atol=1e-6, substeps=32, interpreter="ladder",
+        )
+    else:
+        make_evaluator = lambda: SREvaluator(
+            method="euler", substeps=substeps, interpreter="ladder"
+        )
 
     curves = []
     for seed in seeds:
         gp = GeneticProgramming(
             num_generations=generations,
             population_size=population_size,
-            fitness_function=SREvaluator(
-                method="euler", substeps=substeps, interpreter="ladder"
-            ),
+            fitness_function=make_evaluator(),
             operator_list=operator_list,
             variable_list=[["x0", "x1"]],
             layer_sizes=[2],
@@ -112,7 +136,8 @@ def our_run(data, seeds, generations, population_size, num_islands,
 def main(generations: int = 30, population_size: int = 60, num_islands: int = 2,
          batch_size: int = 8, horizon: float = 5.0, save_dt: float = 0.2,
          dt0: float = 0.01, seeds=(0, 1, 2), report_path: str | None = None,
-         decay_factor: float = 0.5, agree_slack: float = 0.5):
+         decay_factor: float = 0.5, agree_slack: float = 0.5,
+         solver_config: str = "euler"):
     patch_shard_map()
 
     import diffrax
@@ -143,11 +168,12 @@ def main(generations: int = 30, population_size: int = 60, num_islands: int = 2,
     data = (x0s, ts, ys, jr.split(k_noise, batch_size))
 
     ref = reference_run(
-        data, seeds, generations, population_size, num_islands, operator_list, dt0
+        data, seeds, generations, population_size, num_islands, operator_list,
+        dt0, solver_config=solver_config,
     )
     ours = our_run(
         data, seeds, generations, population_size, num_islands, operator_list,
-        substeps=int(round(save_dt / dt0)),
+        substeps=int(round(save_dt / dt0)), solver_config=solver_config,
     )
 
     ref_med = np.median(ref, axis=0)
@@ -159,7 +185,9 @@ def main(generations: int = 30, population_size: int = 60, num_islands: int = 2,
         "",
         "## Golden RUN parity: full evolution loops (VdP SR, "
         f"pop {population_size} x {num_islands} islands, {generations} gens, "
-        f"{len(seeds)} seeds)",
+        f"{len(seeds)} seeds"
+        + (", Dopri5+PID — the notebook's solver)" if solver_config == "adaptive"
+           else ")"),
         "",
         "| generation | reference median best | ours median best |",
         "|---|---|---|",
@@ -475,6 +503,11 @@ if __name__ == "__main__":
     which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
     if which in ("all", "sr"):
         main()
+    if which == "sr_adaptive":
+        # run-level parity under the notebooks' actual solver; smaller shape
+        # than the fixed-step run — the shim's batched per-lane PID stepping
+        # is CPU-heavy
+        main(generations=20, population_size=40, solver_config="adaptive")
     if which in ("all", "policy"):
         main_policy_run(env_name="acrobot")
         main_policy_run(env_name="harmonic", horizon=5.0)
