@@ -29,33 +29,58 @@ def wait_for_backend(budget_s: float | None = None,
     The axon tunnel can be transiently UNAVAILABLE (a killed computation wedges
     the chip for ~60-90 s); a single failed first device op would abort the
     whole bench (this is exactly what produced the rc=1 BENCH_r01 capture).
-    Retry a trivial matmul until it answers or the budget runs out.  Returns
-    True on success; on failure the caller proceeds anyway (the real workload
-    may still succeed if the backend recovers mid-run).
+
+    Probes run in a SUBPROCESS: jax caches a failed backend init for the life
+    of the process (xla_bridge._backend_errors), so an in-process retry loop
+    would just re-raise the first failure forever — and would leave this
+    process's backend poisoned even after the tunnel recovers.  Only once a
+    subprocess matmul succeeds does this process touch the device.  Each probe
+    gets its own timeout because a down tunnel HANGS backend init (observed
+    ~7 min) rather than failing fast; killing a probe that never reached the
+    device does not wedge the chip.
+
+    Returns True on success; on failure the caller proceeds anyway (the real
+    workload may still succeed if the backend recovers mid-run).
     """
+    import os
+    import subprocess
+
     if budget_s is None:
-        import os
         budget_s = float(os.environ.get("MTGP_BENCH_PROBE_BUDGET_S", 240.0))
+    probe_src = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+                 "jax.block_until_ready(x @ x); print(jax.default_backend())")
     t0 = time.monotonic()
     attempt = 0
     while True:
         attempt += 1
+        err = ""
         try:
-            x = jnp.ones((128, 128))
-            jax.block_until_ready(x @ x)
-            if attempt > 1:
-                print(f"# backend up after {time.monotonic() - t0:.0f}s "
-                      f"({attempt} attempts)", file=sys.stderr)
-            return True
-        except Exception as exc:  # noqa: BLE001 - backend init raises RuntimeError
-            elapsed = time.monotonic() - t0
-            print(f"# backend probe {attempt} failed after {elapsed:.0f}s: "
-                  f"{type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
-            if elapsed > budget_s:
-                print("# backend probe budget exhausted; attempting bench anyway",
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                backend = r.stdout.strip().splitlines()[-1]
+                print(f"# backend probe ok ({backend}) after "
+                      f"{time.monotonic() - t0:.0f}s, {attempt} attempt(s)",
                       file=sys.stderr)
-                return False
-            time.sleep(probe_interval_s)
+                if backend != "tpu":
+                    print(f"# WARNING: default backend is '{backend}', not "
+                          "tpu — numbers below are NOT a chip measurement",
+                          file=sys.stderr)
+                return True
+            err = (r.stderr or "").strip().splitlines()[-1:] or ["rc != 0"]
+            err = err[0][:160]
+        except subprocess.TimeoutExpired:
+            err = "probe subprocess timed out (backend init hang)"
+        elapsed = time.monotonic() - t0
+        print(f"# backend probe {attempt} failed after {elapsed:.0f}s: {err}",
+              file=sys.stderr)
+        if elapsed > budget_s:
+            print("# backend probe budget exhausted; attempting bench anyway",
+                  file=sys.stderr)
+            return False
+        time.sleep(probe_interval_s)
 
 
 def main(

@@ -343,7 +343,7 @@ def _run(ops, c2, const, data, fset: FunctionSet):
     return out.reshape(l)
 
 
-def _prep(x: Array, batch, l: int, pad: int) -> Array:
+def _prep(x: Array, batch, l: int, pad: int, fill: int = 0) -> Array:
     """(batch_x..., rows) -> padded (rows, L) lane-major layout.
 
     Transposes the UNBROADCAST tensor first (rows to the front while the
@@ -359,7 +359,9 @@ def _prep(x: Array, batch, l: int, pad: int) -> Array:
     xb = xt.shape[1:]
     xt = xt.reshape((rows,) + (1,) * (len(batch) - len(xb)) + xb)
     xt = jnp.broadcast_to(xt, (rows,) + batch).reshape(rows, l)
-    return jnp.pad(xt, ((0, 0), (0, pad))) if pad else xt
+    if not pad:
+        return xt
+    return jnp.pad(xt, ((0, 0), (0, pad)), constant_values=fill)
 
 
 def _forward(trees: TreeTensors, data: Array, fset: FunctionSet) -> Array:
@@ -375,7 +377,7 @@ def _forward(trees: TreeTensors, data: Array, fset: FunctionSet) -> Array:
 
     out = _run(
         _prep(trees.ops, batch, l, pad),
-        _prep(trees.c2, batch, l, pad),
+        _prep(trees.c2, batch, l, pad, fill=-1),
         _prep(trees.const.astype(jnp.float32), batch, l, pad),
         _prep(data.astype(jnp.float32), batch, l, pad),
         fset,
@@ -409,7 +411,7 @@ def _backward(trees: TreeTensors, data: Array, g: Array, fset: FunctionSet):
     g_flat = jnp.pad(jnp.broadcast_to(g, batch).reshape(l), (0, pad))
     dconst, ddata = _run_bwd(
         _prep(trees.ops, batch, l, pad),
-        _prep(trees.c2, batch, l, pad),
+        _prep(trees.c2, batch, l, pad, fill=-1),
         _prep(trees.const.astype(jnp.float32), batch, l, pad),
         _prep(data.astype(jnp.float32), batch, l, pad),
         g_flat.astype(jnp.float32),
@@ -457,6 +459,14 @@ def interpret_mode_active() -> bool:
     the multi-chip dryrun and the CI kernel tests)."""
     if not _HAS_PALLAS:
         return False
+    import os
+
+    # escape hatch: the detection below reads a private jax config var that a
+    # jax upgrade may rename — in that case kernels would silently fall back
+    # to XLA on CPU; setting MTGP_FORCE_INTERPRET=1 (with an ambient
+    # force_tpu_interpret_mode() context) keeps the fused paths engaged
+    if os.environ.get("MTGP_FORCE_INTERPRET") == "1":
+        return True
     try:
         from jax._src import config as _jax_config
 

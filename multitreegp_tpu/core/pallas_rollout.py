@@ -400,7 +400,10 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 # * (8, 128) lane tiles keep the three tree streams + value scratch inside
 #   VMEM at N=256.
 DEEP_MAX_NODES = 256
-DEEP_WINDOW = 9  # gather window: covers link distances 2..9
+# gather window (covers link distances 2..window): keep in lockstep with the
+# per-call interpreter kernels' window — both fallback-coverage assumptions
+# come from the same link-distance telemetry. Tests monkeypatch this name.
+from .pallas_interpreter import GATHER_WINDOW as DEEP_WINDOW  # noqa: E402
 SUBLANES_DEEP = 8
 TILE_DEEP = SUBLANES_DEEP * LANE
 

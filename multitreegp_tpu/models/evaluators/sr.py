@@ -28,7 +28,12 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate, integrate_adaptive, integrate_sde
+from ..integrators import (
+    adaptive_step_budget,
+    integrate,
+    integrate_adaptive,
+    integrate_sde,
+)
 
 
 class SREvaluator:
@@ -162,7 +167,7 @@ class SREvaluator:
             # path for the notebooks' Dopri5+PIDController configuration
             return integrate_adaptive(
                 drift, x0, ts, rtol=self.rtol, atol=self.atol,
-                max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
+                max_steps_per_interval=adaptive_step_budget(self.substeps),
                 remat=self.remat, method=self.adaptive_method,
             )
         if self.interpreter in ("auto", "pallas"):

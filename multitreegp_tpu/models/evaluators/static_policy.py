@@ -29,7 +29,12 @@ from jax import Array
 from ...core.interpreter import evaluate_trees
 from ...core.registry import FunctionSet
 from ...core.trees import TreeTensors
-from ..integrators import integrate, integrate_adaptive, integrate_sde
+from ..integrators import (
+    adaptive_step_budget,
+    integrate,
+    integrate_adaptive,
+    integrate_sde,
+)
 
 
 class StaticPolicyEvaluator:
@@ -198,7 +203,7 @@ class StaticPolicyEvaluator:
             # (StaticPolicy.ipynb cell 4), batched per-lane step control
             xs, alive = integrate_adaptive(
                 drift, x0b, ts, rtol=self.rtol, atol=self.atol,
-                max_steps_per_interval=self.substeps if self.substeps > 4 else 32,
+                max_steps_per_interval=adaptive_step_budget(self.substeps),
                 cond_alive=cond_alive, remat=self.remat,
                 method=self.adaptive_method,
             )

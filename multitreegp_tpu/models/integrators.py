@@ -145,6 +145,19 @@ _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
           187 / 2100, 1 / 40)
 
 
+def adaptive_step_budget(substeps: int, floor: int = 32) -> int:
+    """Resolve an evaluator's ``substeps`` knob into the adaptive path's
+    per-interval step budget.
+
+    ``substeps`` is primarily the FIXED-step refinement count (default 4);
+    under ``method="adaptive"`` it doubles as the max-steps budget when the
+    user explicitly raised it above the fixed-step default — otherwise the
+    adaptive default of ``floor`` steps per save interval applies. Shared by
+    all three evaluators so the threshold/floor live in exactly one place.
+    """
+    return substeps if substeps > 4 else floor
+
+
 def integrate_adaptive(
     drift: Callable[[Array, Array], Array],
     x0: Array,

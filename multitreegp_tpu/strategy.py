@@ -445,6 +445,16 @@ class GeneticProgramming:
                 lambda x: jnp.zeros((g,) + x.shape[2:], x.dtype), populations
             )
 
+        if start_gen >= g:
+            # resuming a checkpoint of a COMPLETED run: nothing left to scan
+            # (an empty scan would make fitness_hist[-1] below out-of-bounds);
+            # re-evaluate the final populations and return the saved state
+            fitness = self._eval_fn(data)(populations)
+            self.best_fitnesses = best_fit_hist
+            self.best_solutions = best_sol_hist
+            self.current_generation = g
+            return best_fit_hist, best_sol_hist, populations, fitness
+
         evolve = self._evolve_populations
         eval_core = lambda p: self._evaluate_core(p, data)
         optimise_core = lambda p, f: self._optimise_core(p, f, data)
@@ -576,7 +586,10 @@ class GeneticProgramming:
                         _host_save, None,
                         pop.ops, pop.c1, pop.c2, pop.const, key, gen + 1,
                         bf, bs.ops, bs.c1, bs.c2, bs.const,
-                        ordered=False,
+                        # ordered: single-file checkpoint paths overwrite in
+                        # place; unordered callbacks could leave an OLDER
+                        # generation as the final file on disk
+                        ordered=True,
                     )
 
                 # resume point: (new_pop, post-split key, gen+1) — scanning on
@@ -588,11 +601,16 @@ class GeneticProgramming:
                 )
             return (new_pop, key, bf_hist, bs_hist), fitness
 
-        # cache the compiled run per (data, length, sharding, checkpointing)
-        # so repeated fit() calls don't re-trace the whole-evolution scan;
-        # the generation index array is an argument, so resumed runs of the
-        # same remaining length reuse the compilation
-        cache_key = (id(data), g - start_gen, shard, checkpointing)
+        # cache the compiled run per (data, length, sharding, checkpoint
+        # config) so repeated fit() calls don't re-trace the whole-evolution
+        # scan; the generation index array is an argument, so resumed runs of
+        # the same remaining length reuse the compilation. checkpoint_path /
+        # checkpoint_every are baked into the generation closure's
+        # io_callback, so they MUST key the cache too.
+        cache_key = (
+            id(data), g - start_gen, shard, checkpointing,
+            checkpoint_path, checkpoint_every,
+        )
         if not hasattr(self, "_fit_cache"):
             self._fit_cache = {}
         if cache_key not in self._fit_cache:
