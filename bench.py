@@ -39,8 +39,12 @@ def wait_for_backend(budget_s: float | None = None,
     ~7 min) rather than failing fast; killing a probe that never reached the
     device does not wedge the chip.
 
-    Returns True on success; on failure the caller proceeds anyway (the real
-    workload may still succeed if the backend recovers mid-run).
+    Returns True on success.  On failure the default is to FAIL FAST with an
+    explicit error JSON line: proceeding would hang this process on backend
+    init (observed ~7 min per attempt with the tunnel down), which can eat
+    the driver's whole capture window — and a CPU-fallback number would not
+    be a chip measurement.  Set MTGP_BENCH_ON_DOWN=proceed to attempt the
+    workload anyway (e.g. when deliberately benching another backend).
     """
     import os
     import subprocess
@@ -77,9 +81,20 @@ def wait_for_backend(budget_s: float | None = None,
         print(f"# backend probe {attempt} failed after {elapsed:.0f}s: {err}",
               file=sys.stderr)
         if elapsed > budget_s:
-            print("# backend probe budget exhausted; attempting bench anyway",
+            if os.environ.get("MTGP_BENCH_ON_DOWN") == "proceed":
+                print("# backend probe budget exhausted; attempting bench "
+                      "anyway (MTGP_BENCH_ON_DOWN=proceed)", file=sys.stderr)
+                return False
+            print("# backend probe budget exhausted; failing fast "
+                  "(set MTGP_BENCH_ON_DOWN=proceed to override)",
                   file=sys.stderr)
-            return False
+            print(json.dumps({
+                "metric": "node_evals_per_s_per_chip", "value": 0.0,
+                "unit": "node-evals/s", "vs_baseline": 0.0,
+                "error": f"tpu backend unavailable after {elapsed:.0f}s "
+                         f"({attempt} probes): {err}",
+            }))
+            raise SystemExit(1)
         time.sleep(probe_interval_s)
 
 

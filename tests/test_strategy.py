@@ -201,6 +201,20 @@ def test_fit_checkpoint_and_resume(tmp_path):
     # history: gens 0-2 come from the checkpoint, 3-5 from the resumed scan
     np.testing.assert_array_equal(np.asarray(bf_full), np.asarray(bf_res))
 
+    # resuming the FINAL checkpoint (a completed run, start_gen == G): no
+    # generations left to scan — fit() must return the saved history and
+    # re-evaluate the final population instead of scanning an empty range
+    done = str(tmp_path / "run_6.npz")
+    bf_done, _, pop_done, fit_done = make().fit(
+        jr.PRNGKey(5), data, resume_from=done
+    )
+    np.testing.assert_array_equal(np.asarray(bf_full), np.asarray(bf_done))
+    np.testing.assert_array_equal(
+        np.asarray(pop_full.ops), np.asarray(pop_done.ops)
+    )
+    assert np.isfinite(np.asarray(fit_done)).all()
+    assert np.asarray(fit_done).shape == np.asarray(fit_full).shape
+
 
 def test_to_callable_matches_tree_evaluator(sr_setup):
     strategy, _data = sr_setup
