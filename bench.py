@@ -88,8 +88,12 @@ def wait_for_backend(budget_s: float | None = None,
             print("# backend probe budget exhausted; failing fast "
                   "(set MTGP_BENCH_ON_DOWN=proceed to override)",
                   file=sys.stderr)
+            cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
             print(json.dumps({
-                "metric": "node_evals_per_s_per_chip", "value": 0.0,
+                # key-match the config's success metric so per-metric series
+                # register the failure as 0.0 instead of dropping it
+                "metric": _METRIC_BY_CFG.get(cfg, "node_evals_per_sec_per_chip"),
+                "value": 0.0,
                 "unit": "node-evals/s", "vs_baseline": 0.0,
                 "error": f"tpu backend unavailable after {elapsed:.0f}s "
                          f"({attempt} probes): {err}",
@@ -224,10 +228,10 @@ def main_policy(
     fitness = jax.block_until_ready(eval_fn(pop))
     assert bool(jnp.isfinite(fitness).all())
 
-    # steady-state shape, same methodology as main(): chain K evaluations in
-    # one jitted scan so the ~50 ms tunnel dispatch latency doesn't pollute
+    # steady-state shape, same methodology as main(): chain K=10 evaluations
+    # in one jitted scan so the ~50 ms tunnel dispatch latency doesn't pollute
     # the measurement (r1 quirk: single-eval timing mixed ~50 ms into 113 ms)
-    chain_k = 5
+    chain_k = 10
 
     def chained(const, _):
         fit = evaluator.evaluate_population(pop._replace(const=const), data)
@@ -275,6 +279,7 @@ def main_generations(
     max_nodes: int = 32,
     max_init_depth: int = 4,
     coefficient_optimisation: bool = False,
+    metric_suffix: str = "",
 ):
     """Full-generation throughput: evaluate + select + crossover/mutate +
     migrate, fused on device (BASELINE.json: 'generations/sec at pop=4096').
@@ -312,7 +317,8 @@ def main_generations(
         json.dumps(
             {
                 "metric": "generations_per_sec_pop4096"
-                          + ("_constopt" if coefficient_optimisation else ""),
+                          + ("_constopt" if coefficient_optimisation else "")
+                          + metric_suffix,
                 "value": rate,
                 "unit": "generations/s",
                 "vs_baseline": rate,  # reference: ~1 host-driven gen/s class
@@ -331,6 +337,17 @@ CONFIGS = {
     "pallas": {"interpreter": "pallas"},
 }
 
+# success-line metric name per config (the fail-fast error line must use the
+# same key so a per-metric series records the failure instead of dropping it)
+_METRIC_BY_CFG = {
+    **{cfg: "node_evals_per_sec_per_chip" for cfg in CONFIGS},
+    "policy": "policy_node_evals_per_sec_per_chip",
+    "policy_nb": "policy_node_evals_per_sec_per_chip",
+    "gen": "generations_per_sec_pop4096",
+    "gen_opt": "generations_per_sec_pop4096_constopt",
+    "gen_deep": "generations_per_sec_pop4096_deep",
+}
+
 if __name__ == "__main__":
     wait_for_backend()
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
@@ -346,6 +363,7 @@ if __name__ == "__main__":
     elif cfg == "gen_deep":
         # end-to-end generations with deep trees: the N<=256 fused reproduce
         # (shift-rows surgery) + the windowed deep rollout, one launch each
-        main_generations(max_nodes=128, max_init_depth=7)
+        main_generations(max_nodes=128, max_init_depth=7,
+                         metric_suffix="_deep")
     else:
         main(**CONFIGS[cfg])

@@ -264,8 +264,6 @@ def make_constant_opt_collective(
     by their refined fitness, matching ``_optimise_core``.
     """
     n_dev = mesh.devices.size
-    k_local = -(-top_k // n_dev)  # ceil: per-device share of the refinement
-    k_pad = k_local * n_dev
 
     def local_step(populations, fitness):
         # populations: (local_islands, pop, ...); fitness: (local_islands, pop)
@@ -275,6 +273,15 @@ def make_constant_opt_collective(
         )
         n_local = flat_fit.shape[0]
         k_contrib = min(top_k, n_local)
+        # per-device share of the refinement, capped at the local population:
+        # each device contributes only k_contrib >= k_local candidates, so an
+        # uncapped ceil(top_k/n_dev) share would make the merged winner set
+        # (k_pad) exceed the gathered pool whenever local_pop <
+        # ceil(top_k/n_dev) — the scatter-back below would then broadcast
+        # (k_pad,...) updates onto fewer targets and crash. Shapes are
+        # static, so this resolves at trace time.
+        k_local = min(-(-top_k // n_dev), n_local)
+        k_pad = k_local * n_dev
 
         local_idx = jnp.argsort(flat_fit)[:k_contrib]
         local_cands = jax.tree_util.tree_map(lambda x: x[local_idx], flat_pop)

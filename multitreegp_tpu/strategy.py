@@ -252,6 +252,20 @@ class GeneticProgramming:
         fitness = self._flat_eval(flat, data)
         return fitness.reshape(islands, self.population_size)
 
+    def _optimise_with_parsimony(self, cands: TreeTensors, data):
+        """Refine constants, then re-add the parsimony term: the optimiser
+        loss is the raw evaluator fitness, and tree sizes are unchanged by
+        constant refinement, so this keeps refined entries comparable with
+        the rest of the population. The single comparability rule for BOTH
+        const-opt paths (host/GSPMD ``_optimise_core`` and the collective
+        ``fit(shard=True)`` step)."""
+        opt_fit, opt_cands = self._optimise(cands, data)
+        if self.size_parsimony:
+            opt_fit = opt_fit + self.size_parsimony * jnp.sum(
+                tree_sizes(cands), axis=-1
+            )
+        return opt_fit, opt_cands
+
     def _optimise_core(self, populations: TreeTensors, fitness: Array, data):
         """Refine constants of the global top-k and splice results back
         (reference :418-422)."""
@@ -262,14 +276,7 @@ class GeneticProgramming:
         flat_fit = fitness.reshape(-1)
         best_idx = jnp.argsort(flat_fit)[:k]
         cands = jax.tree_util.tree_map(lambda x: x[best_idx], flat_pop)
-        opt_fit, opt_cands = self._optimise(cands, data)
-        # the optimiser loss is the raw evaluator fitness; re-add the
-        # parsimony term (tree sizes are unchanged by constant refinement)
-        # so refined entries stay comparable with the rest of the population
-        if self.size_parsimony:
-            opt_fit = opt_fit + self.size_parsimony * jnp.sum(
-                tree_sizes(cands), axis=-1
-            )
+        opt_fit, opt_cands = self._optimise_with_parsimony(cands, data)
         # keep optimised only where better (best-over-epochs already includes
         # the unoptimised candidate, so this is monotone)
         flat_pop = jax.tree_util.tree_map(
@@ -290,8 +297,8 @@ class GeneticProgramming:
     # accumulating compiled programs without limit
     _CACHE_CAP = 8
 
-    def _cached(self, cache: dict, data, build):
-        key = id(data)
+    def _cached(self, cache: dict, data, build, extra_key=()):
+        key = (id(data),) + tuple(extra_key)
         if key not in cache:
             if len(cache) >= self._CACHE_CAP:
                 cache.pop(next(iter(cache)))  # evict oldest (insertion order)
@@ -323,10 +330,7 @@ class GeneticProgramming:
             and self.current_generation > 10
             and (self.current_generation + 1) % 5 == 0
         ):
-            populations, opt_fitness = self._optimise_fn(data)(populations, fitness)
-            # re-apply parsimony on optimised entries is unnecessary: constant
-            # optimisation does not change tree sizes
-            fitness = opt_fitness
+            populations, fitness = self._optimise_fn(data)(populations, fitness)
 
         flat_fit = fitness.reshape(-1)
         best = int(jnp.argmin(flat_fit))
@@ -517,16 +521,8 @@ class GeneticProgramming:
                     # merge) instead of the GSPMD global argsort
                     from .parallel.collective import make_constant_opt_collective
 
-                    def _opt_with_parsimony(cands):
-                        fit, out = self._optimise(cands, data)
-                        if self.size_parsimony:
-                            fit = fit + self.size_parsimony * jnp.sum(
-                                tree_sizes(cands), axis=-1
-                            )
-                        return fit, out
-
                     optimise_core = make_constant_opt_collective(
-                        _opt_with_parsimony,
+                        lambda c: self._optimise_with_parsimony(c, data),
                         self.mesh,
                         self.coefficient_opt_top_k,
                         axis_name=axes,
@@ -607,21 +603,17 @@ class GeneticProgramming:
         # the same remaining length reuse the compilation. checkpoint_path /
         # checkpoint_every are baked into the generation closure's
         # io_callback, so they MUST key the cache too.
-        cache_key = (
-            id(data), g - start_gen, shard, checkpointing,
-            checkpoint_path, checkpoint_every,
-        )
         if not hasattr(self, "_fit_cache"):
             self._fit_cache = {}
-        if cache_key not in self._fit_cache:
-            if len(self._fit_cache) >= self._CACHE_CAP:
-                self._fit_cache.pop(next(iter(self._fit_cache)))
-            self._fit_cache[cache_key] = jax.jit(
+        run = self._cached(
+            self._fit_cache, data,
+            lambda: jax.jit(
                 lambda carry, gens: jax.lax.scan(generation, carry, gens)
-            )
-        (final_pop, _, best_fit, best_sol), fitness_hist = self._fit_cache[
-            cache_key
-        ](
+            ),
+            extra_key=(g - start_gen, shard, checkpointing,
+                       checkpoint_path, checkpoint_every),
+        )
+        (final_pop, _, best_fit, best_sol), fitness_hist = run(
             (populations, run_key, best_fit_hist, best_sol_hist),
             jnp.arange(start_gen, g),
         )

@@ -132,14 +132,20 @@ def test_fused_collective_evolve_interpret_kernels():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
-def test_collective_constant_opt_matches_unsharded():
+@pytest.mark.parametrize("top_k", [8, 50])
+def test_collective_constant_opt_matches_unsharded(top_k):
     """Distributed top-k const-opt (local top-k -> all_gather -> merge ->
-    per-device refine -> owner write-back) vs the plain global-argsort path."""
+    per-device refine -> owner write-back) vs the plain global-argsort path.
+
+    top_k=50 is the production default (coefficient_opt_top_k) and exceeds
+    the 6-candidate local populations here: the per-device refinement share
+    must cap at the local pool or the write-back scatter shape-mismatches
+    (regression: ceil(50/8)=7 > 6 crashed with 'Incompatible shapes for
+    broadcasting')."""
     from multitreegp_tpu.ops.constant_opt import make_constant_optimiser
     from multitreegp_tpu.parallel.collective import make_constant_opt_collective
 
     islands, pop_size, trees, nodes = 8, 6, 2, 8
-    top_k = 8
     key = jr.PRNGKey(7)
     k1, k2 = jr.split(key)
     ops = jnp.ones((islands, pop_size, trees, nodes), jnp.int32)  # all consts
@@ -166,11 +172,12 @@ def test_collective_constant_opt_matches_unsharded():
     # unsharded reference: same k_pad winners, batch-refined, scattered back
     flat_fit = np.asarray(fitness).reshape(-1)
     flat_const = np.asarray(const).reshape((-1, trees, nodes))
-    order = np.argsort(flat_fit)[:top_k]
+    k_eff = min(top_k, islands * pop_size)
+    order = np.argsort(flat_fit)[:k_eff]
     sel = TreeTensors(
-        jnp.asarray(np.ones((top_k, trees, nodes), np.int32)),
-        jnp.full((top_k, trees, nodes), -1, jnp.int32),
-        jnp.full((top_k, trees, nodes), -1, jnp.int32),
+        jnp.asarray(np.ones((k_eff, trees, nodes), np.int32)),
+        jnp.full((k_eff, trees, nodes), -1, jnp.int32),
+        jnp.full((k_eff, trees, nodes), -1, jnp.int32),
         jnp.asarray(flat_const[order]),
     )
     ref_fit, ref_cands = optimise(sel, None)

@@ -49,6 +49,36 @@ def test_sharded_fit_matches_shapes():
     validate_host(final_pop, strategy.fset.slots)
 
 
+def test_sharded_fit_constopt_small_local_pop():
+    """fit(shard=True, coefficient_optimisation=True) at the production
+    default top_k=50 with local populations SMALLER than ceil(50/8): the
+    collective const-opt branch traces even when the schedule never fires,
+    so this pins the trace-time shape regression (per-device refinement
+    share must cap at the local pool)."""
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 2.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2)
+    strategy = GeneticProgramming(
+        num_generations=2,
+        population_size=6,  # local pop 6 < ceil(top_k / n_dev) = 7
+        fitness_function=SREvaluator(substeps=1),
+        operator_list=OPERATORS,
+        variable_list=[["x0", "x1"]],
+        layer_sizes=[2],
+        num_populations=8,
+        max_nodes=16,
+        max_init_depth=3,
+        coefficient_optimisation=True,
+        gradient_steps=2,
+    )
+    best_fit, _, final_pop, final_fitness = strategy.fit(
+        jr.PRNGKey(1), data, shard=True
+    )
+    assert best_fit.shape == (2,)
+    assert np.isfinite(np.asarray(best_fit)).all()
+    validate_host(final_pop, strategy.fset.slots)
+
+
 def test_sharded_eval_equals_unsharded():
     env = VanDerPolOscillator(0.0, 0.0)
     ts = jnp.arange(0.0, 3.0, 0.2)

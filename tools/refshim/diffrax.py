@@ -76,19 +76,15 @@ class PIDController(AbstractStepSizeController):
         self.force_dtmin = force_dtmin
 
 
-# Dormand-Prince 5(4) tableau (Dopri5)
-_DP_C = (0.2, 0.3, 0.8, 8 / 9, 1.0, 1.0)
-_DP_A = (
-    (0.2,),
-    (3 / 40, 9 / 40),
-    (44 / 45, -56 / 15, 32 / 9),
-    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
-    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
-    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+# Dormand-Prince 5(4) tableau (Dopri5) — published constants, shared with
+# the framework's integrator so a transcription fix propagates to both sides
+# of the parity comparison (the stepping/controller logic stays independent)
+from multitreegp_tpu.models.integrators import (  # noqa: E402
+    _DP_A,
+    _DP_B4,
+    _DP_B5,
+    _DP_C,
 )
-_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
-_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-          187 / 2100, 1 / 40)
 
 
 class DirectAdjoint:
