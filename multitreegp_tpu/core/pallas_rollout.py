@@ -253,7 +253,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
     def kernel(*refs):
         if deep:
-            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref, far_ref,
+            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref, far_ref, start_ref,
              err_ref, alive_ref, x_ref, live_ref, y_scr, ysem,
              tree_scr, vals_scr, ysel_scr) = refs
         else:
@@ -268,6 +268,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                         _RefRows(const_ref, mi),
                         lambda i: far_ref[0, mi, i] != 0,
                         x_tiles, vals_scr, ysel_scr,
+                        start=start_ref[0, mi],
                     )
                     tree_scr[mi] = ysel_scr[...]
                     return 0
@@ -411,13 +412,23 @@ TILE_DEEP = SUBLANES_DEEP * LANE
 def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
     """Rolled-row tree eval on (sub, 128) tiles: windowed gather + rare
     full-ladder fallback. Returns ``eval_tree(ops_rows, c2_rows, const_rows,
-    far_scalar, x_tiles, vals_scr, y_scr)`` writing the root value to
+    far_scalar, x_tiles, vals_scr, y_scr, start)`` writing the root value to
     ``y_scr`` (read it back as ``y_scr[...]``); ``far_scalar(i)`` must yield
-    a scalar bool "some lane's row i has a link farther than the window"."""
+    a scalar bool "some lane's row i has a link farther than the window".
+
+    ``start`` (a scalar, possibly traced) skips the all-padding row prefix:
+    the layout is padding-first with every tree's used rows a contiguous
+    suffix ``[n - size, n)``, so rows below ``n - max(size over the tile's
+    lanes)`` are EMPTY for every lane. Skipping them is exact: a valid tree
+    never links below its own first row (subtrees are contiguous), padding
+    rows carry ``c2 = -1`` so no window select ever matches a skipped row,
+    and the stale ``vals_scr`` reads that remain are select-discarded — the
+    same invariant the first executed row already relies on (``i = 0`` reads
+    ``vals_scr[0]`` stale today)."""
     var_start = fset.var_start
 
     def eval_tree(ops_rows, c2_rows, const_rows, far_scalar, x_tiles,
-                  vals_scr, y_scr):
+                  vals_scr, y_scr, start=0):
         zero = jnp.zeros((sub, LANE), jnp.float32)
         one = jnp.ones((sub, LANE), jnp.float32)
 
@@ -439,7 +450,8 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
                     y_scr[...] = jnp.where(c2 == j, vals_scr[j], y_scr[...])
                     return 0
 
-                jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, 0)
+                # links never target the skipped prefix either
+                jax.lax.fori_loop(start, jnp.maximum(i - 1, 0), ladder, 0)
 
             y = y_scr[...]
             leaf = zero
@@ -456,7 +468,7 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
             vals_scr[i] = val
             return 0
 
-        jax.lax.fori_loop(0, n, row, 0, unroll=False)
+        jax.lax.fori_loop(start, n, row, 0, unroll=False)
         y_scr[...] = vals_scr[n - 1]
 
     return eval_tree
@@ -640,6 +652,22 @@ def _fitness_impl(
     lp = lanes + pad
     grid = lp // tile
 
+    inv_order = None
+    if deep:
+        # size-sorted lanes: the deep kernel's row loop starts at the TILE's
+        # max tree size (padding-first layout — rows below n - size are EMPTY
+        # for every lane), so grouping similar-sized candidates into the same
+        # tile makes that bound tight. Per-lane results are independent, so
+        # this is bit-exact modulo the (inverted) permutation.
+        from .trees import EMPTY
+
+        sizes_pm = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)
+        order = jnp.argsort(jnp.sum(sizes_pm, axis=-1))
+        inv_order = jnp.argsort(order)
+        trees = jax.tree_util.tree_map(lambda t: t[order], trees)
+        x0 = x0[order]
+        sizes_pm = sizes_pm[order]
+
     def prep_tree(x, dtype):
         xt = jnp.moveaxis(x, 0, -1)
         xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
@@ -704,17 +732,27 @@ def _fitness_impl(
             p_pad = grid * cpt
             if p_pad > p:
                 far = jnp.pad(far, ((0, p_pad - p), (0, 0), (0, 0)))
+                sizes_pm = jnp.pad(sizes_pm, ((0, p_pad - p), (0, 0)))
             far_any = far.reshape(grid, cpt, m, n).any(axis=1)
+            size_max = sizes_pm.reshape(grid, cpt, m).max(axis=1)
         else:  # tiles straddle candidates: lane-level reduction (superset)
             lane_cand = jnp.minimum(
                 jnp.arange(lp, dtype=jnp.int32) // b, p - 1
             )
             far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
+            size_max = sizes_pm[lane_cand].reshape(grid, tile, m).max(axis=1)
+        # first used row per (tile, tree): rows below it are EMPTY on every
+        # lane (padding-first layout); size >= 1 always (root present)
+        start_rows = (n - size_max).astype(jnp.int32)
         in_specs.append(
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
         )
         operands.append(far_any.astype(jnp.int32))
+        in_specs.append(
+            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(start_rows)
         scratch += [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
             pltpu.VMEM((n, sub, LANE), jnp.float32),  # vals_scr
@@ -737,6 +775,9 @@ def _fitness_impl(
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    if inv_order is not None:  # undo the size-sort lane permutation
+        mse = mse[inv_order]
+        alive_last = alive_last[inv_order]
     return mse, alive_last
 
 
