@@ -644,7 +644,13 @@ def _fitness_impl(
         raise ValueError("rollout_sr_fitness_pallas requires a concrete time grid")
     dt = float(ts_np[1] - ts_np[0])
 
-    deep = n > UNROLL_MAX_NODES
+    # MTGP_SR_FORCE_DEEP=1 routes shallow populations through the rolled-row
+    # deep kernel too (hardware A/B: the dynamic row start skips the padding
+    # prefix — ~mean-size rows instead of N — where the unrolled SSA ladder
+    # always pays all N rows; parity is identical, only scheduling differs)
+    import os
+
+    deep = n > UNROLL_MAX_NODES or os.environ.get("MTGP_SR_FORCE_DEEP") == "1"
     sub = SUBLANES_DEEP if deep else SUBLANES
     tile = sub * LANE
     lanes = p * b
