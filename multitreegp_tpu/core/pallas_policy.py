@@ -63,7 +63,15 @@ from .pallas_interpreter import (
     UNROLL_MAX_NODES,
     tpu_kernels_available,
 )
-from .pallas_rollout import DIVERGENCE_BOUND, _RefRows, _RK_TABLES
+from .pallas_rollout import (
+    DEEP_MAX_NODES,
+    DIVERGENCE_BOUND,
+    _make_deep_tree_eval,
+    _RefRows,
+    _RK_TABLES,
+    deep_tile_scalars,
+    size_sort_candidates,
+)
 
 
 def _make_tree_eval(fset: FunctionSet, n: int):
@@ -106,10 +114,14 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         state_size: int, n_targets: int, params_treedef,
                         n_params: int, t_steps: int, substeps: int, dt: float,
                         method: str, streamed: bool = False,
-                        obs_noise: bool = False, process_noise: bool = False):
+                        obs_noise: bool = False, process_noise: bool = False,
+                        deep: bool = False):
     stages, final_scale = _RK_TABLES[method]
     n_stages = len(stages)
-    eval_tree = _make_tree_eval(fset, n)
+    if deep:
+        eval_deep = _make_deep_tree_eval(fset, n, SUBLANES)
+    else:
+        eval_tree = _make_tree_eval(fset, n)
     n_control = m - state_size
     d_aug = latent + state_size
     dynamic = state_size > 0
@@ -120,15 +132,26 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
     # m=2, substeps=4. Rolling the tree loop (dynamic VMEM row indexing) and
     # the substep loop (state carried in scratch refs — Mosaic cannot
     # legalize multi-tile tuple fori carries) divides the body by m*substeps.
-    roll_trees = m >= 2
+    # ``deep`` additionally rolls the ROW loop (windowed gather + dynamic
+    # start, pallas_rollout._make_deep_tree_eval) — covers N > the unroll
+    # gate and skips the all-padding row prefix.
+    roll_trees = m >= 2 or deep
     roll_sub = substeps >= 2
 
-    def kernel(ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref,
-               xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem, *extra):
+    def kernel(*refs):
         # xs_ref lives in HBM (the whole (T, d_aug, grid, S, L) array): a
         # VMEM-resident trajectory buffer would blow the 16 MB budget at the
         # notebook horizons (T=250). Saved states go out through a
         # double-buffered staging tile + async DMA per save step.
+        if deep:
+            (ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref, far_ref,
+             start_ref, xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
+             *extra) = refs
+            vals_scr, ysel_scr = extra[-2], extra[-1]
+        else:
+            (ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref,
+             xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
+             *extra) = refs
         ei = 0
         if streamed:
             par_scr, psem = extra[0], extra[1]
@@ -143,7 +166,23 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 stage_ref.at[slot], xs_ref.at[t_row, :, gi], sem.at[slot]
             )
 
-        if roll_trees:
+        if deep:
+            def trees_eval(first, count, data_tiles, out_base):
+                def body(ci, _):
+                    mi = first + ci
+                    eval_deep(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi),
+                        lambda i: far_ref[0, mi, i] != 0,
+                        data_tiles, vals_scr, ysel_scr,
+                        start=start_ref[0, mi],
+                    )
+                    tree_scr[out_base + ci] = ysel_scr[...]
+                    return 0
+
+                jax.lax.fori_loop(0, count, body, 0)
+                return [tree_scr[out_base + i] for i in range(count)]
+        elif roll_trees:
             def trees_eval(first, count, data_tiles, out_base):
                 def body(ci, _):
                     tree_scr[out_base + ci] = eval_tree(
@@ -344,7 +383,13 @@ def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
     if not getattr(env, "tile_safe_drift", False):
         return False
     if trees.max_nodes > UNROLL_MAX_NODES:
-        return False
+        # deep trees route through the rolled-row eval (windowed gather +
+        # dynamic start); the m tree streams + row-value scratch must fit
+        # VMEM alongside the staging tiles — cap m*n at the SR-validated
+        # budget (m=2 at N=256 -> 512 stream rows, ~7 MB)
+        m = trees.batch_shape[-1]
+        if trees.max_nodes > DEEP_MAX_NODES or m * trees.max_nodes > 512:
+            return False
     # scalars / per-trajectory (B,) / per-save-point series (B, T) — series
     # stream into the kernel and are linearly interpolated at stage times
     leaves = jax.tree_util.tree_leaves(params)
@@ -407,6 +452,18 @@ def rollout_policy_pallas(
     grid = lp // TILE
     d_aug = latent + state_size
     n_targets = targets.shape[-1]
+
+    # deep trees (or forced A/B): rolled-row eval with windowed gather +
+    # per-tile dynamic row start; size-sorted lanes make the start bound
+    # tight. x0/targets/params are per-trajectory (candidate-independent),
+    # so only the trees permute in and the outputs permute back.
+    import os
+
+    deep = (n > UNROLL_MAX_NODES
+            or os.environ.get("MTGP_POLICY_FORCE_DEEP") == "1")
+    inv_order = None
+    if deep:
+        trees, _order, inv_order = size_sort_candidates(trees)
 
     def prep_tree(x, dtype):
         xt = jnp.moveaxis(x, 0, -1)  # (m, N, P)
@@ -471,7 +528,7 @@ def rollout_policy_pallas(
     kernel = _make_policy_kernel(
         env, fset, n, m, latent, state_size, n_targets, treedef,
         len(leaves), t_steps, substeps, dt, method, streamed, obs_noise,
-        process_noise,
+        process_noise, deep=deep,
     )
 
     tree_spec = pl.BlockSpec(
@@ -499,15 +556,29 @@ def rollout_policy_pallas(
             pltpu.VMEM((2, par_l.shape[1], SUBLANES, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    if m >= 2:  # tree-eval results scratch (kernel roll_trees flag)
+    if m >= 2 or deep:  # tree-eval results scratch (kernel roll_trees flag)
         scratch += [pltpu.VMEM((m, SUBLANES, LANE), jnp.float32)]
+    in_specs = [
+        tree_spec, tree_spec, tree_spec,
+        vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
+    ]
+    operands = [ops_l, c2_l, const_l, x0_l, tgt_l, par_l]
+    if deep:
+        far_any, start_rows = deep_tile_scalars(trees, b, TILE, grid, lp)
+        in_specs += [
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ]
+        operands += [far_any, start_rows]
+        scratch += [
+            pltpu.VMEM((n, SUBLANES, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),  # ysel_scr
+        ]
     xs, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            tree_spec, tree_spec, tree_spec,
-            vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             # full trajectory stays in HBM; the kernel DMAs one save row at a
             # time from a double-buffered VMEM staging tile
@@ -520,10 +591,13 @@ def rollout_policy_pallas(
             jax.ShapeDtypeStruct((grid, SUBLANES, LANE), jnp.float32),
         ),
         scratch_shapes=scratch,
-    )(ops_l, c2_l, const_l, x0_l, tgt_l, par_l)
+    )(*operands)
 
     xs = xs.reshape(t_steps, d_aug, lp)[:, :, :lanes].reshape(t_steps, d_aug, p, b)
     xs = jnp.moveaxis(xs, 1, -1)  # (T, P, B, d_aug)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    if inv_order is not None:  # undo the size-sort lane permutation
+        xs = xs[:, inv_order]
+        alive_last = alive_last[inv_order]
     alive_t = jnp.broadcast_to(alive_last[None], (t_steps, p, b))
     return xs, alive_t

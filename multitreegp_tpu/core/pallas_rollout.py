@@ -484,6 +484,52 @@ def far_link_rows(trees: TreeTensors, window: int | None = None):
     return (trees.c2 >= 0) & (dist > window)
 
 
+def deep_tile_scalars(trees: TreeTensors, b: int, tile: int, grid: int,
+                      lp: int):
+    """Per-(lane-tile, tree) SMEM scalars for the deep rolled-row kernels.
+
+    Returns ``(far_any (grid, m, n) int32, start_rows (grid, m) int32)``:
+    ``far_any[g, mi, i]`` — some lane of tile ``g`` has a row-``i`` link
+    farther than the gather window (triggers the in-kernel full-ladder
+    fallback); ``start_rows[g, mi]`` — the tile's first used row
+    ``n - max(size)`` (rows below are EMPTY padding on every lane, skipped
+    exactly). Lanes are candidate-major ``p * b``."""
+    from .trees import EMPTY
+
+    p, m = trees.batch_shape
+    n = trees.max_nodes
+    far = far_link_rows(trees)  # (P, m, N) bool
+    sizes = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)  # (P, m)
+    if tile % b == 0:
+        cpt = tile // b  # candidates per lane tile
+        p_pad = grid * cpt
+        if p_pad > p:
+            far = jnp.pad(far, ((0, p_pad - p), (0, 0), (0, 0)))
+            sizes = jnp.pad(sizes, ((0, p_pad - p), (0, 0)))
+        far_any = far.reshape(grid, cpt, m, n).any(axis=1)
+        size_max = sizes.reshape(grid, cpt, m).max(axis=1)
+    else:  # tiles straddle candidates: lane-level reduction (superset)
+        lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
+        far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
+        size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
+    return far_any.astype(jnp.int32), (n - size_max).astype(jnp.int32)
+
+
+def size_sort_candidates(trees: TreeTensors):
+    """Sort candidates by total tree size (ascending); returns
+    ``(sorted_trees, order, inv_order)``. Size-homogeneous lane tiles make
+    the deep kernels' per-tile ``start_rows`` bound tight; per-lane results
+    are independent, so evaluating sorted and inverse-permuting the outputs
+    is bit-exact."""
+    from .trees import EMPTY
+
+    order = jnp.argsort(jnp.sum(jnp.sum(trees.ops != EMPTY, axis=-1), axis=-1))
+    inv_order = jnp.argsort(order)
+    return (
+        jax.tree_util.tree_map(lambda t: t[order], trees), order, inv_order
+    )
+
+
 def rollout_available(
     fset: FunctionSet, trees: TreeTensors, d: int, deep_ok: bool = False
 ) -> bool:
@@ -661,18 +707,10 @@ def _fitness_impl(
     inv_order = None
     if deep:
         # size-sorted lanes: the deep kernel's row loop starts at the TILE's
-        # max tree size (padding-first layout — rows below n - size are EMPTY
-        # for every lane), so grouping similar-sized candidates into the same
-        # tile makes that bound tight. Per-lane results are independent, so
-        # this is bit-exact modulo the (inverted) permutation.
-        from .trees import EMPTY
-
-        sizes_pm = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)
-        order = jnp.argsort(jnp.sum(sizes_pm, axis=-1))
-        inv_order = jnp.argsort(order)
-        trees = jax.tree_util.tree_map(lambda t: t[order], trees)
+        # first used row (padding-first layout), so grouping similar-sized
+        # candidates into the same tile makes that bound tight
+        trees, order, inv_order = size_sort_candidates(trees)
         x0 = x0[order]
-        sizes_pm = sizes_pm[order]
 
     def prep_tree(x, dtype):
         xt = jnp.moveaxis(x, 0, -1)
@@ -732,24 +770,7 @@ def _fitness_impl(
         # per-(tile, tree, row) "any lane links farther than the window"
         # scalars, prefetched to SMEM: the in-kernel full-ladder fallback
         # runs only where one of the tile's candidates actually needs it
-        far = far_link_rows(trees)  # (P, m, N) bool
-        if tile % b == 0:
-            cpt = tile // b  # candidates per lane tile
-            p_pad = grid * cpt
-            if p_pad > p:
-                far = jnp.pad(far, ((0, p_pad - p), (0, 0), (0, 0)))
-                sizes_pm = jnp.pad(sizes_pm, ((0, p_pad - p), (0, 0)))
-            far_any = far.reshape(grid, cpt, m, n).any(axis=1)
-            size_max = sizes_pm.reshape(grid, cpt, m).max(axis=1)
-        else:  # tiles straddle candidates: lane-level reduction (superset)
-            lane_cand = jnp.minimum(
-                jnp.arange(lp, dtype=jnp.int32) // b, p - 1
-            )
-            far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
-            size_max = sizes_pm[lane_cand].reshape(grid, tile, m).max(axis=1)
-        # first used row per (tile, tree): rows below it are EMPTY on every
-        # lane (padding-first layout); size >= 1 always (root present)
-        start_rows = (n - size_max).astype(jnp.int32)
+        far_any, start_rows = deep_tile_scalars(trees, b, tile, grid, lp)
         in_specs.append(
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
