@@ -112,6 +112,7 @@ def main(
     repeats: int = 5,
     max_init_depth: int = 4,
     interpreter: str = "auto",
+    method: str = "rk4",
 ):
     from multitreegp_tpu.core.registry import build_function_set
     from multitreegp_tpu.models.environments import VanDerPolOscillator
@@ -132,7 +133,10 @@ def main(
 
     sampler = make_population_sampler(fset, max_init_depth=max_init_depth, max_nodes=max_nodes)
     pop = sampler(jr.PRNGKey(1), population_size)
-    evaluator = SREvaluator(fset, substeps=substeps, interpreter=interpreter)
+    evaluator = SREvaluator(
+        fset, substeps=substeps, interpreter=interpreter, method=method,
+        adaptive_method="dopri5",  # the notebooks' solver (method="adaptive")
+    )
 
     eval_fn = jax.jit(lambda p: evaluator.evaluate_population(p, data))
     fitness = jax.block_until_ready(eval_fn(pop))  # compile + warm up
@@ -167,20 +171,36 @@ def main(
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
 
-    node_evals = node_evals_per_evaluation(
-        population_size=population_size,
-        num_trees=fset.num_trees,
-        max_nodes=max_nodes,
-        batch_size=batch_size,
-        num_save_points=ts.shape[0],
-        substeps=substeps,
-        method=evaluator.method,
-    )
+    if method == "adaptive":
+        # conservative UNDERCOUNT for the adaptive solver: only the 4
+        # minimum accepted steps per save interval (dt0 = span/4) x the
+        # Dopri5 stage count are credited; rejected steps and controller
+        # refinement are free in this metric, so the true rate is >= this
+        node_evals = node_evals_per_evaluation(
+            population_size=population_size,
+            num_trees=fset.num_trees,
+            max_nodes=max_nodes,
+            batch_size=batch_size,
+            num_save_points=ts.shape[0],
+            substeps=4,
+            method="euler",
+        ) * 7  # dopri5: 7 drift calls per step
+    else:
+        node_evals = node_evals_per_evaluation(
+            population_size=population_size,
+            num_trees=fset.num_trees,
+            max_nodes=max_nodes,
+            batch_size=batch_size,
+            num_save_points=ts.shape[0],
+            substeps=substeps,
+            method=evaluator.method,
+        )
     rate = node_evals / dt_best
     print(
         json.dumps(
             {
-                "metric": "node_evals_per_sec_per_chip",
+                "metric": "node_evals_per_sec_per_chip"
+                          + ("_adaptive" if method == "adaptive" else ""),
                 "value": rate,
                 "unit": "node-evals/s",
                 "vs_baseline": rate / TARGET,
@@ -335,12 +355,16 @@ CONFIGS = {
     "pod": {"population_size": 65536},  # pod-scale population, single chip here
     "ladder": {"interpreter": "ladder"},
     "pallas": {"interpreter": "pallas"},
+    # the notebooks' actual solver configuration (Dopri5 + PID), fused:
+    # rollout_sr_fitness_adaptive_pallas
+    "adaptive": {"method": "adaptive"},
 }
 
 # success-line metric name per config (the fail-fast error line must use the
 # same key so a per-metric series records the failure instead of dropping it)
 _METRIC_BY_CFG = {
     **{cfg: "node_evals_per_sec_per_chip" for cfg in CONFIGS},
+    "adaptive": "node_evals_per_sec_per_chip_adaptive",
     "policy": "policy_node_evals_per_sec_per_chip",
     "policy_nb": "policy_node_evals_per_sec_per_chip",
     "gen": "generations_per_sec_pop4096",

@@ -884,3 +884,353 @@ def _rollout_impl(
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
     alive_t = jnp.broadcast_to(alive_last[None], (t_steps, p, b))
     return xs, alive_t
+
+
+# ------------------------------------------------------- adaptive (PID) path
+#
+# The notebooks' actual solver configuration is ADAPTIVE (Dopri5 +
+# PIDController, SymbolicRegression.ipynb cell 2 / SR_evaluator.py:76-79);
+# the general path batches it as integrators.integrate_adaptive (per-lane
+# (t, dt), masked accept/reject). That path relaunches a per-call
+# interpreter kernel for EVERY drift evaluation — hundreds of launches and
+# tree-stream HBM reads per population evaluation. This kernel fuses the
+# whole thing: the embedded RK pair, the per-lane step controller, and the
+# MSE accumulation run in ONE launch with the tree streams VMEM-resident.
+#
+# It mirrors integrate_adaptive's expressions exactly (same tableau
+# constants, same mask algebra, same controller clamps), so short-horizon
+# parity with the general path is ~fp-exact. Always uses the rolled-row
+# deep tree eval (windowed gather + dynamic row start + size-sorted tiles):
+# one code path for every N <= DEEP_MAX_NODES, with the padding-prefix
+# skipping the adaptive path needs even more (its drift count per lane is
+# data-dependent, so wasted rows multiply).
+#
+# ``ts`` streams through SMEM — the grid may be TRACED and non-uniform
+# (unlike the fixed-step kernels, which bake dt into the schedule).
+
+
+def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
+                                  t_steps: int, max_steps: int, rtol: float,
+                                  atol: float, safety: float, method: str,
+                                  sub: int):
+    from ..models.integrators import (
+        _BS_A,
+        _BS_B_LOW,
+        _DP_A,
+        _DP_B4,
+        _DP_B5,
+        _DP_C,
+    )
+
+    err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
+    eval_deep = _make_deep_tree_eval(fset, n, sub)
+
+    def kernel(ops_ref, c2_ref, const_ref, x0_ref, ts_ref, ys_ref, far_ref,
+               start_ref, err_ref, alive_ref, x_ref, live_ref, t_scr, dt_scr,
+               y_scr, ysem, tree_scr, vals_scr, ysel_scr):
+        gi = pl.program_id(0)
+
+        def drift(x_tiles):
+            def body(mi, _):
+                eval_deep(
+                    _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                    _RefRows(const_ref, mi),
+                    lambda i: far_ref[0, mi, i] != 0,
+                    x_tiles, vals_scr, ysel_scr,
+                    start=start_ref[0, mi],
+                )
+                tree_scr[mi] = ysel_scr[...]
+                return 0
+
+            jax.lax.fori_loop(0, m, body, 0)
+            return [tree_scr[mi] for mi in range(m)]
+
+        def y_copy(row, slot):
+            return pltpu.make_async_copy(
+                ys_ref.at[row, :, gi], y_scr.at[slot], ysem.at[slot]
+            )
+
+        def finite_tiles(x_tiles):
+            good = None
+            for xt in x_tiles:
+                g = jnp.isfinite(xt) & (jnp.abs(xt) < DIVERGENCE_BOUND)
+                good = g if good is None else (good & g)
+            return good
+
+        def sq_err(x_tiles, slot):
+            e = jnp.zeros((sub, LANE), jnp.float32)
+            for mi in range(m):
+                dlt = x_tiles[mi] - y_scr[slot, mi]
+                e = e + dlt * dlt
+            return e
+
+        def rk_step(x, dt_c):
+            """One embedded step; returns (x_hi tiles, err_norm tile).
+            Expression-for-expression the same arithmetic as
+            integrate_adaptive's rk_step_{bosh3,dopri5}."""
+            if method == "bosh3":
+                k1 = drift(x)
+                k2 = drift([x[i] + 0.5 * dt_c * k1[i] for i in range(m)])
+                k3 = drift([x[i] + 0.75 * dt_c * k2[i] for i in range(m)])
+                x_hi = [
+                    x[i] + dt_c * (_BS_A[2][0] * k1[i] + _BS_A[2][1] * k2[i]
+                                   + _BS_A[2][2] * k3[i])
+                    for i in range(m)
+                ]
+                k4 = drift(x_hi)
+                x_lo = [
+                    x[i] + dt_c * (_BS_B_LOW[0] * k1[i] + _BS_B_LOW[1] * k2[i]
+                                   + _BS_B_LOW[2] * k3[i] + _BS_B_LOW[3] * k4[i])
+                    for i in range(m)
+                ]
+            else:  # dopri5
+                ks = [drift(x)]
+                for ai in _DP_A:
+                    xi = [
+                        x[i] + dt_c * sum(a * k[i] for a, k in zip(ai, ks))
+                        for i in range(m)
+                    ]
+                    ks.append(drift(xi))
+                x_hi = [
+                    x[i] + dt_c * sum(b * k[i] for b, k in zip(_DP_B5, ks))
+                    for i in range(m)
+                ]
+                x_lo = [
+                    x[i] + dt_c * sum(b * k[i] for b, k in zip(_DP_B4, ks))
+                    for i in range(m)
+                ]
+            acc = jnp.zeros((sub, LANE), jnp.float32)
+            for i in range(m):
+                scale = atol + rtol * jnp.maximum(jnp.abs(x[i]), jnp.abs(x_hi[i]))
+                r = (x_hi[i] - x_lo[i]) / scale
+                acc = acc + r * r
+            err_norm = jnp.sqrt(acc * (1.0 / m))
+            return x_hi, err_norm
+
+        x = [x0_ref[mi, 0] for mi in range(m)]
+        live_ref[...] = finite_tiles(x).astype(jnp.float32)
+        for mi in range(m):
+            x_ref[mi] = x[mi]
+        y_copy(0, 0).start()
+        if t_steps > 1:
+            y_copy(1, 1).start()
+        y_copy(0, 0).wait()
+        err_ref[0] = sq_err(x, 0)
+
+        def save_step(ti, _):
+            y_copy(ti + 1, (ti + 1) % 2).wait()
+            t0 = ts_ref[ti]
+            t1 = ts_ref[ti + 1]
+            span = t1 - t0
+            zero = jnp.zeros((sub, LANE), jnp.float32)
+            t_scr[...] = zero + t0
+            dt_scr[...] = zero + span / 4.0
+
+            def step(_s, _c):
+                t = t_scr[...]
+                dt = dt_scr[...]
+                alive = live_ref[...] > 0.5
+                x = [x_ref[mi] for mi in range(m)]
+                active = alive & (t < t1 - 1e-12)
+                dt_c = jnp.minimum(dt, t1 - t)
+                x_hi, err = rk_step(x, dt_c)
+                ok = finite_tiles(x_hi) & jnp.isfinite(err)
+                accept = active & ok & (err <= 1.0)
+                for mi in range(m):
+                    x_ref[mi] = jnp.where(accept, x_hi[mi], x[mi])
+                t_scr[...] = jnp.where(accept, t + dt_c, t)
+                # I controller: grow/shrink by err^(-1/order), clamped 0.2..5x
+                factor = jnp.where(
+                    jnp.isfinite(err) & (err > 0.0),
+                    jnp.clip(safety * err ** err_exponent, 0.2, 5.0),
+                    jnp.where(ok, 5.0, 0.2),
+                )
+                dt_scr[...] = jnp.where(
+                    active, jnp.clip(dt_c * factor, span * 1e-3, span), dt
+                )
+                # a lane that produced NaN at minimum dt is dead
+                live_ref[...] = (
+                    alive & (ok | ~active | (dt_c > span * 1.5e-3))
+                ).astype(jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, max_steps, step, 0, unroll=False)
+            # lanes that never reached t1 ran out of steps -> dead (max_steps)
+            reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
+            live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
+            err_ref[0] = err_ref[0] + sq_err(
+                [x_ref[mi] for mi in range(m)], (ti + 1) % 2
+            )
+
+            @pl.when(ti + 2 <= t_steps - 1)
+            def _():
+                y_copy(ti + 2, ti % 2).start()
+            return 0
+
+        jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
+        alive_ref[0] = live_ref[...]
+
+    return kernel
+
+
+def adaptive_rollout_available(fset: FunctionSet, trees: TreeTensors,
+                               d: int) -> bool:
+    n = trees.max_nodes
+    m = trees.batch_shape[-1]
+    return (
+        tpu_kernels_available()
+        and n <= DEEP_MAX_NODES
+        and m * n <= 512  # VMEM cap: 3 tree streams + row-value scratch
+        and m == d  # m == state dim (SR semantics)
+    )
+
+
+def rollout_sr_fitness_adaptive_pallas(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    max_steps: int = 32,
+    method: str = "bosh3",
+    safety: float = 0.9,
+):
+    """Fused adaptive rollout + in-kernel MSE: ``(mse (P, B), alive (P, B))``.
+
+    The adaptive twin of :func:`rollout_sr_fitness_pallas` for the notebooks'
+    Dopri5(+PID) / Bosh3 configurations (``SR_evaluator.py:76-79``): embedded
+    RK pair with per-lane ``(t, dt)`` step control entirely in register
+    tiles, semantics of ``integrators.integrate_adaptive`` (accept/reject
+    masks, controller clamps, max-steps death). ``ts`` may be traced and
+    non-uniform (streamed via SMEM). Differentiable via unfused
+    ``integrate_adaptive`` recompute."""
+    import numpy as np
+
+    @jax.custom_vjp
+    def run(ops, c1, c2, const, x0):
+        return _adaptive_fitness_impl(
+            TreeTensors(ops, c1, c2, const), x0, ts, ys, fset, rtol, atol,
+            max_steps, method, safety,
+        )
+
+    def fwd(ops, c1, c2, const, x0):
+        return run(ops, c1, c2, const, x0), (ops, c1, c2, const, x0)
+
+    def bwd(res, g):
+        ops, c1, c2, const, x0 = res
+        g_mse, _g_alive = g
+
+        def unfused(c, x0_):
+            from ..models.integrators import integrate_adaptive
+            from .interpreter import evaluate_trees
+
+            t = TreeTensors(ops, c1, c2, c)[:, None]
+
+            def drift(tt, x):
+                return evaluate_trees(t, x[:, :, None, :], fset, impl="pallas")
+
+            xs, _ = integrate_adaptive(
+                drift, x0_, ts, rtol=rtol, atol=atol,
+                max_steps_per_interval=max_steps, method=method,
+            )
+            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
+            return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
+
+        _, vjp = jax.vjp(unfused, const, x0)
+        dconst, dx0 = vjp(g_mse)
+        zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return zero(ops), zero(c1), zero(c2), dconst, dx0
+
+    run.defvjp(fwd, bwd)
+    return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
+
+
+def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
+                           method, safety):
+    p, b, d = x0.shape
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    t_steps = ts.shape[0]
+
+    sub = SUBLANES_DEEP
+    tile = sub * LANE
+    lanes = p * b
+    pad = (-lanes) % tile
+    lp = lanes + pad
+    grid = lp // tile
+
+    trees, order, inv_order = size_sort_candidates(trees)
+    x0 = x0[order]
+
+    def prep_tree(x, dtype):
+        xt = jnp.moveaxis(x, 0, -1)
+        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
+        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
+
+    ops_l = prep_tree(trees.ops, jnp.int32)
+    c2_l = prep_tree(trees.c2, jnp.int32)
+    const_l = prep_tree(trees.const, jnp.float32)
+
+    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
+    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
+    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+
+    y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
+    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, d)).reshape(
+        t_steps, lanes, d
+    )
+    y = jnp.moveaxis(y, -1, 1)  # (T, d, lanes)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
+    ys_l = y.reshape(t_steps, d, grid, sub, LANE)
+
+    far_any, start_rows = deep_tile_scalars(trees, b, tile, grid, lp)
+
+    kernel = _make_adaptive_fitness_kernel(
+        fset, n, m, t_steps, max_steps, rtol, atol, safety, method, sub
+    )
+    tree_spec = pl.BlockSpec(
+        (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    err, alive = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            tree_spec, tree_spec, tree_spec,
+            pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(lane_out, lane_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, sub, LANE), jnp.float32),  # x_ref
+            pltpu.VMEM((sub, LANE), jnp.float32),  # live_ref
+            pltpu.VMEM((sub, LANE), jnp.float32),  # t_scr
+            pltpu.VMEM((sub, LANE), jnp.float32),  # dt_scr
+            pltpu.VMEM((2, d, sub, LANE), jnp.float32),  # y staging
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
+            pltpu.VMEM((n, sub, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
+        ],
+    )(ops_l, c2_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
+      far_any, start_rows)
+
+    mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
+    alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    mse = mse[inv_order]
+    alive_last = alive_last[inv_order]
+    return mse, alive_last

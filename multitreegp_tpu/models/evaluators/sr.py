@@ -79,7 +79,27 @@ class SREvaluator:
         # never materialised in HBM (pallas_rollout.rollout_sr_fitness_pallas)
         mse = None
         sde = self.process_noise > 0.0 and keys is not None
-        if self.interpreter in ("auto", "pallas") and (
+        if (
+            self.interpreter in ("auto", "pallas")
+            and self.method == "adaptive"
+            and not sde
+        ):
+            # the notebooks' adaptive (Dopri5/Bosh3 + PID) configuration,
+            # fused: embedded RK pair + per-lane step control + MSE in one
+            # launch (pallas_rollout.rollout_sr_fitness_adaptive_pallas)
+            from ...core.pallas_rollout import (
+                adaptive_rollout_available,
+                rollout_sr_fitness_adaptive_pallas,
+            )
+
+            if adaptive_rollout_available(self.fset, population, d):
+                mse, alive_last = rollout_sr_fitness_adaptive_pallas(
+                    population, jnp.broadcast_to(x0s[None], (p, b, d)),
+                    ts, ys, self.fset, rtol=self.rtol, atol=self.atol,
+                    max_steps=adaptive_step_budget(self.substeps),
+                    method=self.adaptive_method,
+                )
+        if mse is None and self.interpreter in ("auto", "pallas") and (
             sde or self.method in ("euler", "heun", "rk4")
         ):
             from ...core.pallas_rollout import (

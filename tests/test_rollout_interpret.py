@@ -216,3 +216,79 @@ def test_interpreter_rolled_kernel_windowed_gather(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk_d), np.asarray(gl_d),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("adaptive_method", ["bosh3", "dopri5"])
+def test_adaptive_fitness_kernel_matches_general(adaptive_method):
+    """Fused adaptive (embedded RK + per-lane PID step control + in-kernel
+    MSE) vs the general integrate_adaptive path through the evaluator: the
+    kernel mirrors integrate_adaptive's expressions, so short-horizon parity
+    is ~fp-exact. Runs the REAL kernel in interpret mode; max-steps budget
+    kept small (substeps=8) so some lanes exercise the out-of-steps death."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.6, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(3), 4)
+    p, b, d = 4, 2, 2
+
+    with pltpu.force_tpu_interpret_mode():
+        assert prl.adaptive_rollout_available(fset, pop, d)
+        mse, alive = prl.rollout_sr_fitness_adaptive_pallas(
+            pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
+            rtol=1e-3, atol=1e-5, max_steps=8, method=adaptive_method,
+        )
+
+    ev = SREvaluator(fset, substeps=8, method="adaptive", rtol=1e-3,
+                     atol=1e-5, adaptive_method=adaptive_method,
+                     interpreter="ladder")
+    xs, alive_l = ev._rollout(pop, x0s, ts)
+    err = np.asarray(xs) - np.asarray(jnp.transpose(ys, (1, 0, 2)))[:, None]
+    mse_ref = np.mean(np.sum(err**2, axis=-1), axis=0)
+    af, al = np.asarray(alive), np.asarray(alive_l[-1])
+    np.testing.assert_array_equal(af, al)
+    mask = af & al
+    dd = np.abs(np.asarray(mse)[mask] - mse_ref[mask]) / (
+        np.abs(mse_ref[mask]) + 1e-9
+    )
+    assert dd.max() < 1e-4, dd.max()
+
+
+def test_adaptive_fused_through_evaluator_interpret():
+    """SREvaluator(method='adaptive', interpreter='pallas') must route
+    through the fused adaptive kernel and agree with the ladder evaluator's
+    fitness (same clamp/divergence semantics)."""
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.6, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(5), 4)
+
+    ev_f = SREvaluator(fset, substeps=8, method="adaptive", rtol=1e-3,
+                       atol=1e-5, interpreter="pallas")
+    ev_l = SREvaluator(fset, substeps=8, method="adaptive", rtol=1e-3,
+                       atol=1e-5, interpreter="ladder")
+    with pltpu.force_tpu_interpret_mode():
+        fit_f = np.asarray(ev_f.evaluate_population(pop, data))
+    fit_l = np.asarray(ev_l.evaluate_population(pop, data))
+    np.testing.assert_allclose(fit_f, fit_l, rtol=1e-4)
