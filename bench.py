@@ -157,11 +157,15 @@ def main(
             fit = evaluator.evaluate_population(pop._replace(const=const), data)
             return const + 1e-30 * jnp.min(fit), fit
 
+        # the digest reduce (one scalar) is fetched with float(): a bogus 5e15
+        # pod reading in r2 showed block_until_ready returning early over the
+        # axon tunnel on some repeats — a host fetch of a value that DEPENDS
+        # on the whole result cannot return before the work is done
         run_k = jax.jit(
-            lambda c: jax.lax.scan(chained, c, None, length=chain_k)[1]
+            lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
         )
-        jax.block_until_ready(run_k(pop.const))  # compile
-        timed = lambda: jax.block_until_ready(run_k(pop.const))
+        float(run_k(pop.const))  # compile
+        timed = lambda: float(run_k(pop.const))
     else:
         timed = lambda: jax.block_until_ready(eval_fn(pop))
     times = []
@@ -170,6 +174,8 @@ def main(
         timed()
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
+    print(f"# raw eval times (s, {chain_k} chained each): "
+          f"{[f'{t:.4f}' for t in times]}", file=sys.stderr)
 
     if method == "adaptive":
         # conservative UNDERCOUNT for the adaptive solver: only the 4
@@ -257,14 +263,19 @@ def main_policy(
         fit = evaluator.evaluate_population(pop._replace(const=const), data)
         return const + 1e-30 * jnp.min(fit), fit
 
-    run_k = jax.jit(lambda c: jax.lax.scan(chained, c, None, length=chain_k)[1])
-    jax.block_until_ready(run_k(pop.const))  # compile
+    # scalar-digest fetch for reliable completion semantics (see main())
+    run_k = jax.jit(
+        lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
+    )
+    float(run_k(pop.const))  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_k(pop.const))
+        float(run_k(pop.const))
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
+    print(f"# raw eval times (s, {chain_k} chained each): "
+          f"{[f'{t:.4f}' for t in times]}", file=sys.stderr)
 
     node_evals = node_evals_per_evaluation(
         population_size=population_size,
@@ -328,10 +339,10 @@ def main_generations(
         coefficient_optimisation=coefficient_optimisation,
     )
     warm, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)  # compile
-    jax.block_until_ready(warm)
+    float(jnp.sum(warm))
     t0 = time.perf_counter()
     best_fit, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)
-    jax.block_until_ready(best_fit)
+    float(jnp.sum(best_fit))  # scalar fetch: reliable completion (see main())
     rate = generations / (time.perf_counter() - t0)
     print(
         json.dumps(

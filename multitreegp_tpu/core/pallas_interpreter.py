@@ -101,14 +101,16 @@ GATHER_WINDOW = 9
 
 
 def far_rows_per_tile(c2: Array, grid: int) -> Array:
-    """(grid, n) int32 from per-lane child streams ``c2 (n, L)``: does any
-    lane of the tile link farther than GATHER_WINDOW at this row."""
+    """(grid, n, 1) int32 from per-lane child streams ``c2 (n, L)``: does any
+    lane of the tile link farther than GATHER_WINDOW at this row. Trailing
+    singleton keeps the per-tile SMEM block's last two dims equal to the
+    array's (Mosaic rejects 2-D ``(1, n)`` blocks over ``(grid, n)``)."""
     n = c2.shape[0]
     rows = jnp.arange(n, dtype=jnp.int32)[:, None]
     far = (c2 >= 0) & (rows - c2 > GATHER_WINDOW)
     return jnp.moveaxis(
         far.reshape(n, grid, TILE).any(axis=-1), 0, -1
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)[..., None]
 
 
 def _windowed_gather(c2, i, vals_ref, far_scalar, y_scr, zero):
@@ -143,7 +145,7 @@ def _make_kernel(fset: FunctionSet, n: int, v: int):
             op = ops_ref[i, 0]  # (S, 128) int32
             x = vals_ref[jnp.maximum(i - 1, 0)]
             c2 = c2_ref[i, 0]
-            y = _windowed_gather(c2, i, vals_ref, far_ref[0, i] != 0, y_scr, zero)
+            y = _windowed_gather(c2, i, vals_ref, far_ref[0, i, 0] != 0, y_scr, zero)
 
             leaf = zero
             for var in range(v):  # static unroll: V is small
@@ -182,7 +184,7 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
 
         def gather_y(i, c2):
             return _windowed_gather(
-                c2, i, vals_ref, far_ref[0, i] != 0, y_scr, zero
+                c2, i, vals_ref, far_ref[0, i, 0] != 0, y_scr, zero
             )
 
         # ---- forward recompute (identical to _make_kernel's sweep)
@@ -249,7 +251,7 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
                 def _(j=j):
                     dvals_ref[jnp.maximum(j, 0)] += jnp.where(c2 == j, dy, zero)
 
-            @pl.when(far_ref[0, i] != 0)
+            @pl.when(far_ref[0, i, 0] != 0)
             def _():
                 def scatter(j, _):
                     @pl.when(j < i - GATHER_WINDOW)
@@ -290,7 +292,7 @@ def _run_bwd(ops, c2, const, data, g, fset: FunctionSet):
         grid=(grid,),
         in_specs=[spec3(n), spec3(n), spec3(n), spec3(v),
                   pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM)],
+                  pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)],
         out_specs=(spec3(n), spec3(v)),
         out_shape=(
             jax.ShapeDtypeStruct((n, grid, SUBLANES, LANE), jnp.float32),
@@ -325,7 +327,7 @@ def _run(ops, c2, const, data, fset: FunctionSet):
     scratch = []
     if not unrolled:
         in_specs.append(
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
         )
         operands.append(far_rows_per_tile(c2, g))
         scratch = [

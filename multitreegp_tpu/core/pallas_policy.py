@@ -175,7 +175,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         _RefRows(const_ref, mi),
                         lambda i: far_ref[0, mi, i] != 0,
                         data_tiles, vals_scr, ysel_scr,
-                        start=start_ref[0, mi],
+                        start=start_ref[0, mi, 0],
                     )
                     tree_scr[out_base + ci] = ysel_scr[...]
                     return 0
@@ -453,14 +453,20 @@ def rollout_policy_pallas(
     d_aug = latent + state_size
     n_targets = targets.shape[-1]
 
-    # deep trees (or forced A/B): rolled-row eval with windowed gather +
-    # per-tile dynamic row start; size-sorted lanes make the start bound
-    # tight. x0/targets/params are per-trajectory (candidate-independent),
-    # so only the trees permute in and the outputs permute back.
+    # Rolled-row eval (windowed gather + per-tile dynamic row start over
+    # size-sorted lanes) is the DEFAULT for all N: the dynamic start skips
+    # the all-padding row prefix, so each tile pays ~max-used-size rows
+    # instead of N. Hardware A/B (r2, v5e, pop 4096): rolled 3.07e10 vs
+    # unrolled 1.35e10 node-evals/s at N=32 (2.3x), 2.53e10 vs 1.31e10 at
+    # the notebook config — the unrolled SSA ladder always pays all N rows.
+    # x0/targets/params are per-trajectory (candidate-independent), so only
+    # the trees permute in and the outputs permute back.
+    # MTGP_POLICY_UNROLLED=1 restores the fully-unrolled ladder for A/B
+    # (shallow N only); MTGP_POLICY_FORCE_DEEP is accepted but redundant.
     import os
 
     deep = (n > UNROLL_MAX_NODES
-            or os.environ.get("MTGP_POLICY_FORCE_DEEP") == "1")
+            or os.environ.get("MTGP_POLICY_UNROLLED") != "1")
     inv_order = None
     if deep:
         trees, _order, inv_order = size_sort_candidates(trees)
@@ -568,7 +574,8 @@ def rollout_policy_pallas(
         in_specs += [
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ]
         operands += [far_any, start_rows]
         scratch += [

@@ -268,7 +268,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                         _RefRows(const_ref, mi),
                         lambda i: far_ref[0, mi, i] != 0,
                         x_tiles, vals_scr, ysel_scr,
-                        start=start_ref[0, mi],
+                        start=start_ref[0, mi, 0],
                     )
                     tree_scr[mi] = ysel_scr[...]
                     return 0
@@ -488,7 +488,9 @@ def deep_tile_scalars(trees: TreeTensors, b: int, tile: int, grid: int,
                       lp: int):
     """Per-(lane-tile, tree) SMEM scalars for the deep rolled-row kernels.
 
-    Returns ``(far_any (grid, m, n) int32, start_rows (grid, m) int32)``:
+    Returns ``(far_any (grid, m, n) int32, start_rows (grid, m, 1) int32)``
+    (trailing singleton so the per-tile SMEM block's last two dims equal the
+    array's — Mosaic rejects 2-D ``(1, m)`` blocks over ``(grid, m)``):
     ``far_any[g, mi, i]`` — some lane of tile ``g`` has a row-``i`` link
     farther than the gather window (triggers the in-kernel full-ladder
     fallback); ``start_rows[g, mi]`` — the tile's first used row
@@ -512,7 +514,8 @@ def deep_tile_scalars(trees: TreeTensors, b: int, tile: int, grid: int,
         lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
         far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
         size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
-    return far_any.astype(jnp.int32), (n - size_max).astype(jnp.int32)
+    start_rows = (n - size_max).astype(jnp.int32)[..., None]
+    return far_any.astype(jnp.int32), start_rows
 
 
 def size_sort_candidates(trees: TreeTensors):
@@ -691,9 +694,12 @@ def _fitness_impl(
     dt = float(ts_np[1] - ts_np[0])
 
     # MTGP_SR_FORCE_DEEP=1 routes shallow populations through the rolled-row
-    # deep kernel too (hardware A/B: the dynamic row start skips the padding
-    # prefix — ~mean-size rows instead of N — where the unrolled SSA ladder
-    # always pays all N rows; parity is identical, only scheduling differs)
+    # deep kernel too. Hardware A/B (r2, v5e, pop 4096, N=32): unrolled
+    # 6.46e10 vs rolled 4.05e10 node-evals/s — SR evaluates ONE tree per
+    # lane tile with mean size ~6, so the prefix skip saves less than the
+    # dynamic row indexing costs; the unrolled ladder stays the shallow-N
+    # default here (the POLICY kernel A/B went the other way, see
+    # pallas_policy.py — m trees per step make the skip win 2.3x).
     import os
 
     deep = n > UNROLL_MAX_NODES or os.environ.get("MTGP_SR_FORCE_DEEP") == "1"
@@ -777,7 +783,8 @@ def _fitness_impl(
         )
         operands.append(far_any.astype(jnp.int32))
         in_specs.append(
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
         )
         operands.append(start_rows)
         scratch += [
@@ -937,7 +944,7 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                     _RefRows(const_ref, mi),
                     lambda i: far_ref[0, mi, i] != 0,
                     x_tiles, vals_scr, ysel_scr,
-                    start=start_ref[0, mi],
+                    start=start_ref[0, mi, 0],
                 )
                 tree_scr[mi] = ysel_scr[...]
                 return 0
@@ -1208,7 +1215,8 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(lane_out, lane_out),
         out_shape=(

@@ -73,22 +73,21 @@ def test_time_varying_series_decay():
     _compare_static(ChangingHarmonicOscillator(0.0, 0.0), "Decay", ["tgt"])
 
 
-def test_deep_policy_kernel_forced(monkeypatch):
-    """The rolled-row deep policy path (windowed gather + per-tile dynamic
-    row start + size-sorted lanes): forcing it at N=16 must match the
-    general path exactly. This is the kernel deep trees (N > unroll gate)
-    route through; CI-pinned here, full-suite coverage via
-    MTGP_POLICY_FORCE_DEEP=1."""
+def test_unrolled_policy_kernel(monkeypatch):
+    """The legacy fully-unrolled SSA ladder (pre-r2 default, now the
+    MTGP_POLICY_UNROLLED=1 A/B path — the rolled-row kernel won the r2
+    hardware A/B 2.3x and is the default): must still match the general
+    path exactly at shallow N."""
     from multitreegp_tpu.models.environments import HarmonicOscillator
 
-    monkeypatch.setenv("MTGP_POLICY_FORCE_DEEP", "1")
+    monkeypatch.setenv("MTGP_POLICY_UNROLLED", "1")
     _compare_static(HarmonicOscillator(0.0, 0.0), "Constant", ["tgt"])
 
 
-def test_deep_policy_kernel_dynamic_forced(monkeypatch):
-    """Deep path through the DYNAMIC (stateful) policy layout: m = state +
-    control trees slice the rolled eval at traced offsets."""
-    monkeypatch.setenv("MTGP_POLICY_FORCE_DEEP", "1")
+def test_unrolled_policy_kernel_dynamic(monkeypatch):
+    """Unrolled ladder through the DYNAMIC (stateful) policy layout: m =
+    state + control trees evaluated as python-unrolled SSA chains."""
+    monkeypatch.setenv("MTGP_POLICY_UNROLLED", "1")
     test_dynamic_policy_time_varying()
 
 
