@@ -208,8 +208,12 @@ def test_fused_rollout_deep_trees():
     ts = jnp.arange(0.0, 1.0, 0.2)
     data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=8, substeps=8)
 
+    # reference = the gather interpreter: parity-equal to the ladder (CPU
+    # tests pin that) but O(N) HLO — the ladder's O(N^2) select program at
+    # N=128 takes ~30 min of remote compile and once EOF'd the tunnel;
+    # runtime doesn't matter at this tiny shape
     ev_f = SREvaluator(fset, substeps=1)  # auto -> deep windowed kernel
-    ev_r = SREvaluator(fset, substeps=1, interpreter="ladder")
+    ev_r = SREvaluator(fset, substeps=1, interpreter="gather")
     a = np.asarray(jax.jit(lambda p: ev_f.evaluate_population(p, data))(pop))
     b = np.asarray(jax.jit(lambda p: ev_r.evaluate_population(p, data))(pop))
     both = (a < ev_f.max_fitness) & (b < ev_r.max_fitness)
