@@ -101,34 +101,40 @@ GATHER_WINDOW = 9
 
 
 def far_rows_per_tile(c2: Array, grid: int) -> Array:
-    """(grid, n, 1) int32 from per-lane child streams ``c2 (n, L)``: does any
-    lane of the tile link farther than GATHER_WINDOW at this row. Trailing
-    singleton keeps the per-tile SMEM block's last two dims equal to the
-    array's (Mosaic rejects 2-D ``(1, n)`` blocks over ``(grid, n)``)."""
+    """(grid, n, 1) int32 from per-lane child streams ``c2 (n, L)``: the
+    tile's MAX second-child link distance at this row (0 where unlinked).
+    Values > GATHER_WINDOW trigger the in-kernel ladder fallback AND bound
+    its range — the ladder only scans ``[i - dist, i - 2]``, so a single long
+    link costs its actual span, not O(i). Trailing singleton keeps the
+    per-tile SMEM block's last two dims equal to the array's (Mosaic rejects
+    2-D ``(1, n)`` blocks over ``(grid, n)``)."""
     n = c2.shape[0]
     rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    far = (c2 >= 0) & (rows - c2 > GATHER_WINDOW)
+    dist = jnp.where(c2 >= 0, rows - c2, 0)
     return jnp.moveaxis(
-        far.reshape(n, grid, TILE).any(axis=-1), 0, -1
+        dist.reshape(n, grid, TILE).max(axis=-1), 0, -1
     ).astype(jnp.int32)[..., None]
 
 
-def _windowed_gather(c2, i, vals_ref, far_scalar, y_scr, zero):
-    """y = vals[c2] via window loads + pl.when full-ladder fallback; leaves
-    the result in ``y_scr`` and returns it."""
+def _windowed_gather(c2, i, vals_ref, far_dist, y_scr, zero):
+    """y = vals[c2] via window loads + pl.when distance-bounded ladder
+    fallback (``far_dist``: the tile's max link distance at row ``i``);
+    leaves the result in ``y_scr`` and returns it."""
     y = zero
     for k in range(2, GATHER_WINDOW + 1):
         j = i - k
         y = jnp.where((c2 == j) & (j >= 0), vals_ref[jnp.maximum(j, 0)], y)
     y_scr[...] = y
 
-    @pl.when(far_scalar)
+    @pl.when(far_dist > GATHER_WINDOW)
     def _():
         def ladder(j, _):
             y_scr[...] = jnp.where(c2 == j, vals_ref[j], y_scr[...])
             return 0
 
-        jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), ladder, 0)
+        jax.lax.fori_loop(
+            jnp.maximum(i - far_dist, 0), jnp.maximum(i - 1, 0), ladder, 0
+        )
 
     return y_scr[...]
 
@@ -145,7 +151,7 @@ def _make_kernel(fset: FunctionSet, n: int, v: int):
             op = ops_ref[i, 0]  # (S, 128) int32
             x = vals_ref[jnp.maximum(i - 1, 0)]
             c2 = c2_ref[i, 0]
-            y = _windowed_gather(c2, i, vals_ref, far_ref[0, i, 0] != 0, y_scr, zero)
+            y = _windowed_gather(c2, i, vals_ref, far_ref[0, i, 0], y_scr, zero)
 
             leaf = zero
             for var in range(v):  # static unroll: V is small
@@ -184,7 +190,7 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
 
         def gather_y(i, c2):
             return _windowed_gather(
-                c2, i, vals_ref, far_ref[0, i, 0] != 0, y_scr, zero
+                c2, i, vals_ref, far_ref[0, i, 0], y_scr, zero
             )
 
         # ---- forward recompute (identical to _make_kernel's sweep)
@@ -251,7 +257,9 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
                 def _(j=j):
                     dvals_ref[jnp.maximum(j, 0)] += jnp.where(c2 == j, dy, zero)
 
-            @pl.when(far_ref[0, i, 0] != 0)
+            fd = far_ref[0, i, 0]
+
+            @pl.when(fd > GATHER_WINDOW)
             def _():
                 def scatter(j, _):
                     @pl.when(j < i - GATHER_WINDOW)
@@ -260,7 +268,9 @@ def _make_bwd_kernel(fset: FunctionSet, n: int, v: int):
 
                     return 0
 
-                jax.lax.fori_loop(0, jnp.maximum(i - 1, 0), scatter, 0,
+                # links never reach below i - fd (the tile's max distance)
+                jax.lax.fori_loop(jnp.maximum(i - fd, 0),
+                                  jnp.maximum(i - 1, 0), scatter, 0,
                                   unroll=False)
 
             dconst_ref[i, 0] = jnp.where(op == CONST, gi, zero)

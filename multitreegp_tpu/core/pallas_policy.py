@@ -15,8 +15,13 @@ per RK stage, per substep, per save step — tree streams, targets and physics
 parameters resident in VMEM for the whole trajectory.
 
 Engages only when: TPU + concrete uniform grid + ``env.tile_safe_drift`` +
-``max_nodes <= UNROLL_MAX_NODES``. The general scan path covers everything
-else. Three exogenous-input classes stream from HBM through a double-buffered
+``max_nodes <= DEEP_MAX_NODES`` with the VMEM byte gate of
+:func:`policy_rollout_available` (3 tree streams + row scratch under 10 MB
+at 16 KB/row, i.e. ``(3m+1)*N <= 640``). The rolled-row eval (windowed
+gather + per-tile dynamic row start over size-sorted lanes) is the default
+at every N after the r2 hardware A/B (2.3x over the unrolled ladder);
+``MTGP_POLICY_UNROLLED=1`` restores the fully-unrolled ladder for N <=
+UNROLL_MAX_NODES. The general scan path covers everything else. Three exogenous-input classes stream from HBM through a double-buffered
 staging tile:
 
 * physics parameters — scalars / per-trajectory ``(B,)`` values resident in
@@ -173,7 +178,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                     eval_deep(
                         _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
                         _RefRows(const_ref, mi),
-                        lambda i: far_ref[0, mi, i] != 0,
+                        lambda i: far_ref[0, mi, i],
                         data_tiles, vals_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
                     )
@@ -382,14 +387,20 @@ def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
         return False
     if not getattr(env, "tile_safe_drift", False):
         return False
-    if trees.max_nodes > UNROLL_MAX_NODES:
-        # deep trees route through the rolled-row eval (windowed gather +
-        # dynamic start); the m tree streams + row-value scratch must fit
-        # VMEM alongside the staging tiles — cap m*n at the SR-validated
-        # budget (m=2 at N=256 -> 512 stream rows, ~7 MB)
-        m = trees.batch_shape[-1]
-        if trees.max_nodes > DEEP_MAX_NODES or m * trees.max_nodes > 512:
-            return False
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    if n > DEEP_MAX_NODES:
+        return False
+    # VMEM gate (applies at every N — the rolled path is the default): the
+    # kernel keeps 3 tree streams (m, n, SUBLANES, LANE) resident plus the
+    # (n, SUBLANES, LANE) row-value scratch on the deep path. At 32 sublanes
+    # a row is 16 KB — 4x the SR deep kernel's 8-sublane rows, so the SR
+    # m*n<=512 cap would admit ~24 MB of tree streams against the ~16 MB
+    # VMEM budget. Keep streams+scratch under 10 MB, leaving headroom for
+    # the state/staging tiles.
+    row_bytes = 32 * 128 * 4
+    if (3 * m + 1) * n * row_bytes > 10 * 2**20:
+        return False
     # scalars / per-trajectory (B,) / per-save-point series (B, T) — series
     # stream into the kernel and are linearly interpolated at stage times
     leaves = jax.tree_util.tree_leaves(params)

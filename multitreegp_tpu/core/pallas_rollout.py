@@ -266,7 +266,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                     eval_deep(
                         _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
                         _RefRows(const_ref, mi),
-                        lambda i: far_ref[0, mi, i] != 0,
+                        lambda i: far_ref[0, mi, i],
                         x_tiles, vals_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
                     )
@@ -395,9 +395,11 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 # * rows roll in a fori; values land in an (N, S, L) VMEM scratch;
 # * the second operand is gathered by K dynamic row loads over the last K
 #   rows (the window) instead of an O(N) ladder;
-# * rows with any farther link in the lane tile (rare, precomputed per
-#   (tile, row) on the host side and prefetched to SMEM) fall back to the
-#   exact full ladder under ``pl.when`` — paid only when taken;
+# * rows with a farther link in the lane tile (precomputed max distance per
+#   (tile, row) on the host side, prefetched to SMEM) fall back to a
+#   distance-bounded ladder under ``pl.when`` — paid only when taken, and
+#   only over ``[i - dist, i - 2]`` (evolved populations splice subtrees far
+#   apart; an O(i) fallback made grown-tree eval quadratic);
 # * (8, 128) lane tiles keep the three tree streams + value scratch inside
 #   VMEM at N=256.
 DEEP_MAX_NODES = 256
@@ -411,10 +413,12 @@ TILE_DEEP = SUBLANES_DEEP * LANE
 
 def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
     """Rolled-row tree eval on (sub, 128) tiles: windowed gather + rare
-    full-ladder fallback. Returns ``eval_tree(ops_rows, c2_rows, const_rows,
-    far_scalar, x_tiles, vals_scr, y_scr, start)`` writing the root value to
-    ``y_scr`` (read it back as ``y_scr[...]``); ``far_scalar(i)`` must yield
-    a scalar bool "some lane's row i has a link farther than the window".
+    distance-bounded ladder fallback. Returns ``eval_tree(ops_rows, c2_rows,
+    const_rows, far_scalar, x_tiles, vals_scr, y_scr, start)`` writing the
+    root value to ``y_scr`` (read it back as ``y_scr[...]``);
+    ``far_scalar(i)`` must yield the tile's MAX link distance at row ``i``
+    (int32, 0 where unlinked) — the fallback engages when it exceeds the
+    window and scans only ``[i - dist, i - 2]``.
 
     ``start`` (a scalar, possibly traced) skips the all-padding row prefix:
     the layout is padding-first with every tree's used rows a contiguous
@@ -444,14 +448,20 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
                 y = jnp.where((c2 == j) & (j >= 0), vals_scr[jc], y)
             y_scr[...] = y
 
-            @pl.when(far_scalar(i))
+            fd = far_scalar(i)
+
+            @pl.when(fd > DEEP_WINDOW)
             def _():
                 def ladder(j, _):
                     y_scr[...] = jnp.where(c2 == j, vals_scr[j], y_scr[...])
                     return 0
 
-                # links never target the skipped prefix either
-                jax.lax.fori_loop(start, jnp.maximum(i - 1, 0), ladder, 0)
+                # links never target the skipped prefix, nor reach below
+                # i - fd (the tile's max link distance at this row)
+                jax.lax.fori_loop(
+                    jnp.maximum(start, i - fd), jnp.maximum(i - 1, 0),
+                    ladder, 0,
+                )
 
             y = y_scr[...]
             leaf = zero
@@ -488,34 +498,38 @@ def deep_tile_scalars(trees: TreeTensors, b: int, tile: int, grid: int,
                       lp: int):
     """Per-(lane-tile, tree) SMEM scalars for the deep rolled-row kernels.
 
-    Returns ``(far_any (grid, m, n) int32, start_rows (grid, m, 1) int32)``
+    Returns ``(far_dist (grid, m, n) int32, start_rows (grid, m, 1) int32)``
     (trailing singleton so the per-tile SMEM block's last two dims equal the
     array's — Mosaic rejects 2-D ``(1, m)`` blocks over ``(grid, m)``):
-    ``far_any[g, mi, i]`` — some lane of tile ``g`` has a row-``i`` link
-    farther than the gather window (triggers the in-kernel full-ladder
-    fallback); ``start_rows[g, mi]`` — the tile's first used row
-    ``n - max(size)`` (rows below are EMPTY padding on every lane, skipped
-    exactly). Lanes are candidate-major ``p * b``."""
+    ``far_dist[g, mi, i]`` — the MAX second-child link distance at row ``i``
+    over tile ``g``'s lanes (0 where unlinked). Values > the gather window
+    trigger the in-kernel ladder fallback AND bound its scan range to
+    ``[i - dist, i - 2]`` — evolved deep populations splice subtrees far
+    apart, and an O(i)-per-row fallback made grown-tree eval quadratic;
+    ``start_rows[g, mi]`` — the tile's first used row ``n - max(size)``
+    (rows below are EMPTY padding on every lane, skipped exactly). Lanes are
+    candidate-major ``p * b``."""
     from .trees import EMPTY
 
     p, m = trees.batch_shape
     n = trees.max_nodes
-    far = far_link_rows(trees)  # (P, m, N) bool
+    rows = jnp.arange(n, dtype=jnp.int32)
+    dist = jnp.where(trees.c2 >= 0, rows - trees.c2, 0)  # (P, m, N) int32
     sizes = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)  # (P, m)
     if tile % b == 0:
         cpt = tile // b  # candidates per lane tile
         p_pad = grid * cpt
         if p_pad > p:
-            far = jnp.pad(far, ((0, p_pad - p), (0, 0), (0, 0)))
+            dist = jnp.pad(dist, ((0, p_pad - p), (0, 0), (0, 0)))
             sizes = jnp.pad(sizes, ((0, p_pad - p), (0, 0)))
-        far_any = far.reshape(grid, cpt, m, n).any(axis=1)
+        far_dist = dist.reshape(grid, cpt, m, n).max(axis=1)
         size_max = sizes.reshape(grid, cpt, m).max(axis=1)
     else:  # tiles straddle candidates: lane-level reduction (superset)
         lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
-        far_any = far[lane_cand].reshape(grid, tile, m, n).any(axis=1)
+        far_dist = dist[lane_cand].reshape(grid, tile, m, n).max(axis=1)
         size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
     start_rows = (n - size_max).astype(jnp.int32)[..., None]
-    return far_any.astype(jnp.int32), start_rows
+    return far_dist.astype(jnp.int32), start_rows
 
 
 def size_sort_candidates(trees: TreeTensors):
@@ -674,6 +688,54 @@ def rollout_sr_fitness_pallas(
     return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
 
 
+def _lane_layout(trees: TreeTensors, x0: Array, sub: int):
+    """Shared lane-layout prep for the SR rollout kernels.
+
+    Flattens the ``(P, B)`` population x trajectory axes candidate-major
+    onto ``(grid, sub, LANE)`` tiles: tree streams broadcast over B (every
+    trajectory of a candidate shares its trees), initial states laid out
+    per-lane. Returns ``((ops, c2, const, x0) tiles, (lanes, pad, lp, grid))``.
+    One definition so the fixed-step, trajectory and adaptive impls cannot
+    disagree on lane order.
+    """
+    p, b, d = x0.shape
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    tile = sub * LANE
+    lanes = p * b
+    pad = (-lanes) % tile
+    lp = lanes + pad
+    grid = lp // tile
+
+    def prep_tree(x, dtype):
+        xt = jnp.moveaxis(x, 0, -1)  # (m, N, P)
+        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
+        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
+
+    ops_l = prep_tree(trees.ops, jnp.int32)
+    c2_l = prep_tree(trees.c2, jnp.int32)
+    const_l = prep_tree(trees.const, jnp.float32)
+
+    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
+    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
+    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+    return (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid)
+
+
+def _lane_rows(y: Array, p: int, b: int, lanes: int, pad: int, grid: int,
+               sub: int) -> Array:
+    """(T, B, rows) per-save-point rows -> (T, rows, grid, sub, LANE) tiles,
+    broadcast over the population axis (same lane order as _lane_layout)."""
+    t_steps, _, rows = y.shape
+    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, rows)).reshape(
+        t_steps, lanes, rows
+    )
+    y = jnp.moveaxis(y, -1, 1)  # (T, rows, lanes)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
+    return y.reshape(t_steps, rows, grid, sub, LANE)
+
+
 def _fitness_impl(
     trees: TreeTensors,
     x0: Array,
@@ -705,10 +767,6 @@ def _fitness_impl(
     deep = n > UNROLL_MAX_NODES or os.environ.get("MTGP_SR_FORCE_DEEP") == "1"
     sub = SUBLANES_DEEP if deep else SUBLANES
     tile = sub * LANE
-    lanes = p * b
-    pad = (-lanes) % tile
-    lp = lanes + pad
-    grid = lp // tile
 
     inv_order = None
     if deep:
@@ -718,19 +776,9 @@ def _fitness_impl(
         trees, order, inv_order = size_sort_candidates(trees)
         x0 = x0[order]
 
-    def prep_tree(x, dtype):
-        xt = jnp.moveaxis(x, 0, -1)
-        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
-        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
-
-    ops_l = prep_tree(trees.ops, jnp.int32)
-    c2_l = prep_tree(trees.c2, jnp.int32)
-    const_l = prep_tree(trees.const, jnp.float32)
-
-    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
-    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
-    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+    (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
+        trees, x0, sub
+    )
 
     # ground truth rows: (B, T, d) -> (T, d, lanes) broadcast over P. This is
     # a per-`data` constant — under the evaluator's closure-jit it is
@@ -742,12 +790,7 @@ def _fitness_impl(
             [y, jnp.asarray(process_noise_rows, jnp.float32)], axis=-1
         )
     rows = y.shape[-1]
-    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, rows)).reshape(
-        t_steps, lanes, rows
-    )
-    y = jnp.moveaxis(y, -1, 1)  # (T, rows, lanes)
-    y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
-    ys_l = y.reshape(t_steps, rows, grid, sub, LANE)
+    ys_l = _lane_rows(y, p, b, lanes, pad, grid, sub)
 
     kernel, roll_trees = _make_fitness_kernel(
         fset, n, m, t_steps, substeps, dt, method,
@@ -781,7 +824,7 @@ def _fitness_impl(
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
         )
-        operands.append(far_any.astype(jnp.int32))
+        operands.append(far_any)
         in_specs.append(
             pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
@@ -833,26 +876,9 @@ def _rollout_impl(
         raise ValueError("rollout_sr_pallas requires a concrete uniform time grid")
 
     sub = SUBLANES
-    lanes = p * b
-    pad = (-lanes) % TILE
-    lp = lanes + pad
-    grid = lp // TILE
-
-    # per-lane tree streams: (P, m, N) -> (m, N, P) -> (m, N, P, B) -> (m, N, L)
-    def prep_tree(x, dtype):
-        xt = jnp.moveaxis(x, 0, -1)  # (m, N, P)
-        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
-        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
-
-    ops_l = prep_tree(trees.ops, jnp.int32)
-    c2_l = prep_tree(trees.c2, jnp.int32)
-    const_l = prep_tree(trees.const, jnp.float32)
-
-    # x0: (P, B, d) -> (d, L)
-    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
-    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
-    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+    (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
+        trees, x0, sub
+    )
 
     kernel, roll_trees = _make_rollout_kernel(
         fset, n, m, t_steps, substeps, dt, method
@@ -920,15 +946,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                                   t_steps: int, max_steps: int, rtol: float,
                                   atol: float, safety: float, method: str,
                                   sub: int):
-    from ..models.integrators import (
-        _BS_A,
-        _BS_B_LOW,
-        _DP_A,
-        _DP_B4,
-        _DP_B5,
-        _DP_C,
-    )
+    from ..models.integrators import _BS_A, _BS_B_LOW, _DP_A, _DP_B4, _DP_B5
 
+    if method not in ("bosh3", "dopri5"):
+        # match integrate_adaptive: an unknown method must error, not
+        # silently integrate with the dopri5 tableau
+        raise ValueError(f"unknown adaptive method: {method!r}")
     err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
     eval_deep = _make_deep_tree_eval(fset, n, sub)
 
@@ -942,7 +965,7 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 eval_deep(
                     _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
                     _RefRows(const_ref, mi),
-                    lambda i: far_ref[0, mi, i] != 0,
+                    lambda i: far_ref[0, mi, i],
                     x_tiles, vals_scr, ysel_scr,
                     start=start_ref[0, mi, 0],
                 )
@@ -1061,7 +1084,22 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 ).astype(jnp.float32)
                 return 0
 
-            jax.lax.fori_loop(0, max_steps, step, 0, unroll=False)
+            # data-dependent early exit: once every lane of the tile has
+            # reached t1 (or died), remaining controller iterations are exact
+            # no-ops (accept=False leaves x/t/dt/live untouched) — skip them.
+            # Typical accepted-step counts are ~4-8 of max_steps=32, so this
+            # is a multi-x win on the adaptive bench, bit-exact by the no-op
+            # argument above.
+            def w_cond(s):
+                return (s < max_steps) & jnp.any(
+                    (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
+                )
+
+            def w_body(s):
+                step(s, 0)
+                return s + 1
+
+            jax.lax.while_loop(w_cond, w_body, 0)
             # lanes that never reached t1 ran out of steps -> dead (max_steps)
             reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
             live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
@@ -1141,6 +1179,7 @@ def rollout_sr_fitness_adaptive_pallas(
             xs, _ = integrate_adaptive(
                 drift, x0_, ts, rtol=rtol, atol=atol,
                 max_steps_per_interval=max_steps, method=method,
+                safety=safety,
             )
             err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
             return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
@@ -1163,35 +1202,16 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
 
     sub = SUBLANES_DEEP
     tile = sub * LANE
-    lanes = p * b
-    pad = (-lanes) % tile
-    lp = lanes + pad
-    grid = lp // tile
 
     trees, order, inv_order = size_sort_candidates(trees)
     x0 = x0[order]
 
-    def prep_tree(x, dtype):
-        xt = jnp.moveaxis(x, 0, -1)
-        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
-        return xt.astype(dtype).reshape(m, n, grid, sub, LANE)
-
-    ops_l = prep_tree(trees.ops, jnp.int32)
-    c2_l = prep_tree(trees.c2, jnp.int32)
-    const_l = prep_tree(trees.const, jnp.float32)
-
-    x0_l = jnp.moveaxis(x0, -1, 0).reshape(d, lanes)
-    x0_l = jnp.pad(x0_l, ((0, 0), (0, pad))) if pad else x0_l
-    x0_l = x0_l.astype(jnp.float32).reshape(d, grid, sub, LANE)
+    (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
+        trees, x0, sub
+    )
 
     y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
-    y = jnp.broadcast_to(y[:, None], (t_steps, p, b, d)).reshape(
-        t_steps, lanes, d
-    )
-    y = jnp.moveaxis(y, -1, 1)  # (T, d, lanes)
-    y = jnp.pad(y, ((0, 0), (0, 0), (0, pad))) if pad else y
-    ys_l = y.reshape(t_steps, d, grid, sub, LANE)
+    ys_l = _lane_rows(y, p, b, lanes, pad, grid, sub)
 
     far_any, start_rows = deep_tile_scalars(trees, b, tile, grid, lp)
 
