@@ -76,6 +76,7 @@ from .pallas_rollout import (
     _RK_TABLES,
     deep_tile_scalars,
     size_sort_candidates,
+    stack_planes,
 )
 
 
@@ -137,7 +138,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
     # m=2, substeps=4. Rolling the tree loop (dynamic VMEM row indexing) and
     # the substep loop (state carried in scratch refs — Mosaic cannot
     # legalize multi-tile tuple fori carries) divides the body by m*substeps.
-    # ``deep`` additionally rolls the ROW loop (windowed gather + dynamic
+    # ``deep`` additionally rolls the ROW loop (stack-machine eval + dynamic
     # start, pallas_rollout._make_deep_tree_eval) — covers N > the unroll
     # gate and skips the all-padding row prefix.
     roll_trees = m >= 2 or deep
@@ -149,10 +150,10 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
         # notebook horizons (T=250). Saved states go out through a
         # double-buffered staging tile + async DMA per save step.
         if deep:
-            (ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref, far_ref,
+            (ops_ref, const_ref, x0_ref, tgt_ref, par_ref, depth_ref,
              start_ref, xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
              *extra) = refs
-            vals_scr, ysel_scr = extra[-2], extra[-1]
+            planes_scr, sp_scr, top_scr, ysel_scr = extra[-4:]
         else:
             (ops_ref, c2_ref, const_ref, x0_ref, tgt_ref, par_ref,
              xs_ref, alive_ref, x_scr, live_scr, stage_ref, sem,
@@ -176,11 +177,10 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 def body(ci, _):
                     mi = first + ci
                     eval_deep(
-                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
-                        _RefRows(const_ref, mi),
-                        lambda i: far_ref[0, mi, i],
-                        data_tiles, vals_scr, ysel_scr,
+                        _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
+                        data_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
+                        depth_cap=depth_ref[0, mi, 0],
                     )
                     tree_scr[out_base + ci] = ysel_scr[...]
                     return 0
@@ -392,14 +392,14 @@ def policy_rollout_available(env, fset: FunctionSet, trees: TreeTensors,
     if n > DEEP_MAX_NODES:
         return False
     # VMEM gate (applies at every N — the rolled path is the default): the
-    # kernel keeps 3 tree streams (m, n, SUBLANES, LANE) resident plus the
-    # (n, SUBLANES, LANE) row-value scratch on the deep path. At 32 sublanes
-    # a row is 16 KB — 4x the SR deep kernel's 8-sublane rows, so the SR
-    # m*n<=512 cap would admit ~24 MB of tree streams against the ~16 MB
-    # VMEM budget. Keep streams+scratch under 10 MB, leaving headroom for
-    # the state/staging tiles.
+    # kernel keeps 2 tree streams (m, n, SUBLANES, LANE) resident (the stack
+    # eval reads no child indices) plus the stack-plane scratch. At 32
+    # sublanes a row is 16 KB — 4x the SR deep kernel's 8-sublane rows, so
+    # the SR m*n<=512 cap would admit ~24 MB of tree streams against the
+    # ~16 MB VMEM budget. Keep streams+scratch under 10 MB, leaving headroom
+    # for the state/staging tiles.
     row_bytes = 32 * 128 * 4
-    if (3 * m + 1) * n * row_bytes > 10 * 2**20:
+    if (2 * m * n + stack_planes(n)) * row_bytes > 10 * 2**20:
         return False
     # scalars / per-trajectory (B,) / per-save-point series (B, T) — series
     # stream into the kernel and are linearly interpolated at stage times
@@ -575,24 +575,32 @@ def rollout_policy_pallas(
         ]
     if m >= 2 or deep:  # tree-eval results scratch (kernel roll_trees flag)
         scratch += [pltpu.VMEM((m, SUBLANES, LANE), jnp.float32)]
-    in_specs = [
-        tree_spec, tree_spec, tree_spec,
-        vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
-    ]
-    operands = [ops_l, c2_l, const_l, x0_l, tgt_l, par_l]
     if deep:
-        far_any, start_rows = deep_tile_scalars(trees, b, TILE, grid, lp)
-        in_specs += [
-            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+        depth_caps, start_rows = deep_tile_scalars(
+            trees, fset.slots, b, TILE, grid, lp
+        )
+        in_specs = [
+            tree_spec, tree_spec,
+            vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
-        operands += [far_any, start_rows]
+        operands = [ops_l, const_l, x0_l, tgt_l, par_l, depth_caps,
+                    start_rows]
         scratch += [
-            pltpu.VMEM((n, SUBLANES, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((stack_planes(n), SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.int32),  # sp_scr
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),  # top_scr
             pltpu.VMEM((SUBLANES, LANE), jnp.float32),  # ysel_scr
         ]
+    else:
+        in_specs = [
+            tree_spec, tree_spec, tree_spec,
+            vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
+        ]
+        operands = [ops_l, c2_l, const_l, x0_l, tgt_l, par_l]
     xs, alive = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from .registry import FunctionSet
-from .trees import CONST, OP_START, TreeTensors
+from .trees import CONST, EMPTY, OP_START, TreeTensors
 
 try:
     from jax.experimental import pallas as pl
@@ -253,9 +253,9 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
     def kernel(*refs):
         if deep:
-            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref, far_ref, start_ref,
+            (ops_ref, const_ref, x0_ref, ys_ref, depth_ref, start_ref,
              err_ref, alive_ref, x_ref, live_ref, y_scr, ysem,
-             tree_scr, vals_scr, ysel_scr) = refs
+             tree_scr, planes_scr, sp_scr, top_scr, ysel_scr) = refs
         else:
             (ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
              err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra) = refs
@@ -264,11 +264,10 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             def drift(x_tiles):
                 def body(mi, _):
                     eval_deep(
-                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
-                        _RefRows(const_ref, mi),
-                        lambda i: far_ref[0, mi, i],
-                        x_tiles, vals_scr, ysel_scr,
+                        _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
+                        x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
+                        depth_cap=depth_ref[0, mi, 0],
                     )
                     tree_scr[mi] = ysel_scr[...]
                     return 0
@@ -387,83 +386,107 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 # Beyond UNROLL_MAX_NODES the unrolled SSA ladder is out (O(N^2) compile) and
 # the r1 fused attempt with a full dynamic fori ladder measured SLOWER than
 # per-call kernels (2.8 vs 8.2 Gnodes/s at N=128): every row paid an O(N)
-# gather ladder. The windowed design here exploits the postorder layout's
-# link-distance skew — measured on grow-sampled N=128 populations: 93% of
-# second-child links have distance <= 8, 99.7% <= 16 (the second child sits
-# directly below the first child's subtree, and most subtrees are small):
+# gather ladder. The r2 windowed-gather design (window-9 loads + a
+# distance-bounded ladder fallback) was fast on grow-SAMPLED populations
+# (93% of links within 8 rows) but quadratic on EVOLVED ones: crossover
+# splices whole subtrees, and after ~40 generations at N=128 link distances
+# reach p90=36 / p99=104, so the per-tile max-distance fallback fired near
+# full-length on most rows (measured 832 ms vs 43 ms per pop-4096 eval).
 #
-# * rows roll in a fori; values land in an (N, S, L) VMEM scratch;
-# * the second operand is gathered by K dynamic row loads over the last K
-#   rows (the window) instead of an O(N) ladder;
-# * rows with a farther link in the lane tile (precomputed max distance per
-#   (tile, row) on the host side, prefetched to SMEM) fall back to a
-#   distance-bounded ladder under ``pl.when`` — paid only when taken, and
-#   only over ``[i - dist, i - 2]`` (evolved populations splice subtrees far
-#   apart; an O(i) fallback made grown-tree eval quadratic);
-# * (8, 128) lane tiles keep the three tree streams + value scratch inside
+# This is the STACK interpreter SURVEY.md §7 design-delta 2 prescribed: in a
+# root-last postorder serialization a binary node's operands are always the
+# top TWO stack entries (subtrees are contiguous, so the second-child value
+# sits directly below the first-child value on the stack) — no gather, no
+# child pointers, no fallback, for EVERY tree shape:
+#
+# * rows roll in a fori; the top of stack lives in a register tile, deeper
+#   entries in a (depth, S, L) VMEM plane scratch indexed by a per-lane
+#   stack pointer (a select ladder over planes);
+# * the ladder is bounded by the TILE's max stack depth (an SMEM scalar per
+#   (tile, tree)) — stack depth is small (p50 4 / max 7 on grow-sampled,
+#   p99 24 / max 28 on 40-gen evolved N=128 populations) and bounded by
+#   (leaves+1) <= (N+1)/2 + 1 always, so the plane scratch is HALF the old
+#   (N, S, L) row-value scratch;
+# * (8, 128) lane tiles keep the two tree streams (opcode + const — the
+#   child-index stream is no longer read at all) + plane scratch inside
 #   VMEM at N=256.
 DEEP_MAX_NODES = 256
-# gather window (covers link distances 2..window): keep in lockstep with the
-# per-call interpreter kernels' window — both fallback-coverage assumptions
-# come from the same link-distance telemetry. Tests monkeypatch this name.
-from .pallas_interpreter import GATHER_WINDOW as DEEP_WINDOW  # noqa: E402
 SUBLANES_DEEP = 8
 TILE_DEEP = SUBLANES_DEEP * LANE
 
 
+def stack_planes(n: int) -> int:
+    """Plane-scratch allocation for the deep stack eval: the deepest stack a
+    size-<=n postorder program can need is one slot per leaf plus the top
+    register; leaves <= (n + 1) // 2 for arity-<=2 trees."""
+    return (n + 1) // 2 + 1
+
+
 def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
-    """Rolled-row tree eval on (sub, 128) tiles: windowed gather + rare
-    distance-bounded ladder fallback. Returns ``eval_tree(ops_rows, c2_rows,
-    const_rows, far_scalar, x_tiles, vals_scr, y_scr, start)`` writing the
-    root value to ``y_scr`` (read it back as ``y_scr[...]``);
-    ``far_scalar(i)`` must yield the tile's MAX link distance at row ``i``
-    (int32, 0 where unlinked) — the fallback engages when it exceeds the
-    window and scans only ``[i - dist, i - 2]``.
+    """Rolled-row STACK-machine tree eval on (sub, 128) tiles. Returns
+    ``eval_tree(ops_rows, const_rows, x_tiles, planes_scr, sp_scr, top_scr,
+    y_scr, start, depth_cap)`` writing the root value to ``y_scr`` (read it
+    back as ``y_scr[...]``).
 
-    ``start`` (a scalar, possibly traced) skips the all-padding row prefix:
+    Per row: a leaf pushes (old top spills to ``planes_scr[sp-1]``), a unary
+    operator rewrites the top in place, a binary operator consumes the top
+    (first operand, the adjacent child's value — same operand order as the
+    unrolled ladder's ``x = vals[i-1]``) and ``planes_scr[sp-2]`` (second
+    operand), net-popping one. Plane reads/writes are one fused select
+    ladder over ``depth_cap - 1`` planes (``depth_cap``: the tile's max
+    stack depth, SMEM scalar — plane indices never exceed it by the
+    push-bound argument in :func:`deep_tile_scalars`).
+
+    ``start`` (scalar, possibly traced) skips the all-padding row prefix:
     the layout is padding-first with every tree's used rows a contiguous
-    suffix ``[n - size, n)``, so rows below ``n - max(size over the tile's
-    lanes)`` are EMPTY for every lane. Skipping them is exact: a valid tree
-    never links below its own first row (subtrees are contiguous), padding
-    rows carry ``c2 = -1`` so no window select ever matches a skipped row,
-    and the stale ``vals_scr`` reads that remain are select-discarded — the
-    same invariant the first executed row already relies on (``i = 0`` reads
-    ``vals_scr[0]`` stale today)."""
-    var_start = fset.var_start
+    suffix ``[n - size, n)``. EMPTY rows are per-lane no-ops (they match no
+    opcode class, so top/sp/planes pass through), which also makes the skip
+    exact."""
+    import numpy as np
 
-    def eval_tree(ops_rows, c2_rows, const_rows, far_scalar, x_tiles,
-                  vals_scr, y_scr, start=0):
+    var_start = fset.var_start
+    # opcode arity is static (FunctionSet is a plain dataclass, never traced)
+    # — resolve the binary opcodes HERE: the ``slots`` property builds a
+    # fresh jnp array, which inside a trace is a tracer that ``int()`` rejects
+    arities = np.asarray(jax.device_get(fset.arities))
+    binary_ops = [OP_START + k for k, a in enumerate(arities) if int(a) == 2]
+
+    def eval_tree(ops_rows, const_rows, x_tiles, planes_scr, sp_scr,
+                  top_scr, y_scr, start=0, depth_cap=None):
         zero = jnp.zeros((sub, LANE), jnp.float32)
         one = jnp.ones((sub, LANE), jnp.float32)
+        izero = jnp.zeros((sub, LANE), jnp.int32)
+        cap = planes_scr.shape[0] if depth_cap is None else depth_cap
+
+        sp_scr[...] = izero
+        top_scr[...] = zero
 
         def row(i, _):
             op = ops_rows[i]
-            c2 = c2_rows[i]
-            x = vals_scr[jnp.maximum(i - 1, 0)]
+            sp = sp_scr[...]
+            top = top_scr[...]
+            is_leaf = (op == CONST) | (op >= var_start)
+            is2 = izero
+            for opc in binary_ops:
+                is2 = jnp.where(op == opc, 1, is2)
 
-            y = zero
-            for k in range(2, DEEP_WINDOW + 1):
-                j = i - k
-                jc = jnp.maximum(j, 0)
-                y = jnp.where((c2 == j) & (j >= 0), vals_scr[jc], y)
-            y_scr[...] = y
+            # one pass over the live planes: read the second operand
+            # (binary rows, plane sp-2) and spill the old top (leaf rows,
+            # plane sp-1) — disjoint per lane, so a single fori serves both
+            y_scr[...] = zero
 
-            fd = far_scalar(i)
-
-            @pl.when(fd > DEEP_WINDOW)
-            def _():
-                def ladder(j, _):
-                    y_scr[...] = jnp.where(c2 == j, vals_scr[j], y_scr[...])
-                    return 0
-
-                # links never target the skipped prefix, nor reach below
-                # i - fd (the tile's max link distance at this row)
-                jax.lax.fori_loop(
-                    jnp.maximum(start, i - fd), jnp.maximum(i - 1, 0),
-                    ladder, 0,
+            def plane(p_idx, _):
+                pv = planes_scr[p_idx]
+                y_scr[...] = jnp.where(sp - 2 == p_idx, pv, y_scr[...])
+                planes_scr[p_idx] = jnp.where(
+                    is_leaf & (sp - 1 == p_idx), top, pv
                 )
+                return 0
 
+            jax.lax.fori_loop(0, jnp.maximum(cap - 1, 0), plane, 0)
+            x = top
             y = y_scr[...]
+
             leaf = zero
             for var in range(min(len(x_tiles), fset.num_variables)):
                 leaf = jnp.where(op == var_start + var, x_tiles[var], leaf)
@@ -475,61 +498,73 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
                 val = jnp.where(sel, fn(xs, ys), val)
             val = jnp.where(op == CONST, const_rows[i], val)
             val = jnp.where(op >= var_start, leaf, val)
-            vals_scr[i] = val
+
+            top_scr[...] = jnp.where(op != EMPTY, val, top)
+            sp_scr[...] = sp + jnp.where(
+                is_leaf, 1, jnp.where(is2 == 1, -1, 0)
+            )
             return 0
 
         jax.lax.fori_loop(start, n, row, 0, unroll=False)
-        y_scr[...] = vals_scr[n - 1]
+        y_scr[...] = top_scr[...]
 
     return eval_tree
 
 
 def far_link_rows(trees: TreeTensors, window: int | None = None):
-    """(P, m, N) bool: row has a second-child link farther than the window."""
+    """(P, m, N) bool: row has a second-child link farther than ``window``.
+
+    Telemetry helper (the per-call interpreter kernels' windowed gather and
+    its tests use it); the deep STACK eval above has no window."""
     if window is None:
-        window = DEEP_WINDOW  # read at call time: tests shrink the window
+        from .pallas_interpreter import GATHER_WINDOW as window
     n = trees.max_nodes
     rows = jnp.arange(n, dtype=jnp.int32)
     dist = rows - trees.c2
     return (trees.c2 >= 0) & (dist > window)
 
 
-def deep_tile_scalars(trees: TreeTensors, b: int, tile: int, grid: int,
-                      lp: int):
-    """Per-(lane-tile, tree) SMEM scalars for the deep rolled-row kernels.
+def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
+                      grid: int, lp: int):
+    """Per-(lane-tile, tree) SMEM scalars for the deep stack kernels.
 
-    Returns ``(far_dist (grid, m, n) int32, start_rows (grid, m, 1) int32)``
+    Returns ``(depth_caps (grid, m, 1) int32, start_rows (grid, m, 1) int32)``
     (trailing singleton so the per-tile SMEM block's last two dims equal the
     array's — Mosaic rejects 2-D ``(1, m)`` blocks over ``(grid, m)``):
-    ``far_dist[g, mi, i]`` — the MAX second-child link distance at row ``i``
-    over tile ``g``'s lanes (0 where unlinked). Values > the gather window
-    trigger the in-kernel ladder fallback AND bound its scan range to
-    ``[i - dist, i - 2]`` — evolved deep populations splice subtrees far
-    apart, and an O(i)-per-row fallback made grown-tree eval quadratic;
+    ``depth_caps[g, mi]`` — the MAX stack depth over tile ``g``'s lanes
+    (inclusive of the top register): the running max of
+    ``cumsum(1 - arity)`` over used rows. The in-kernel plane ladder runs
+    over ``depth_cap - 1`` planes, which is exact: a plane index is
+    ``sp - 2`` (read) or ``sp - 1`` (push spill with ``sp <= depth - 1``
+    before the push), both ``< depth - 1``.
     ``start_rows[g, mi]`` — the tile's first used row ``n - max(size)``
-    (rows below are EMPTY padding on every lane, skipped exactly). Lanes are
+    (rows below are EMPTY padding on every lane, skipped exactly).
+    ``slots`` is the function set's arity-by-opcode table. Lanes are
     candidate-major ``p * b``."""
     from .trees import EMPTY
 
     p, m = trees.batch_shape
     n = trees.max_nodes
-    rows = jnp.arange(n, dtype=jnp.int32)
-    dist = jnp.where(trees.c2 >= 0, rows - trees.c2, 0)  # (P, m, N) int32
-    sizes = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)  # (P, m)
+    used = trees.ops != EMPTY
+    arity = jnp.take(jnp.asarray(slots, jnp.int32), trees.ops, axis=0)
+    w = jnp.where(used, 1 - arity, 0)
+    depth = jnp.max(jnp.cumsum(w, axis=-1), axis=-1).astype(jnp.int32)  # (P, m)
+    sizes = jnp.sum(used, axis=-1).astype(jnp.int32)  # (P, m)
     if tile % b == 0:
         cpt = tile // b  # candidates per lane tile
         p_pad = grid * cpt
         if p_pad > p:
-            dist = jnp.pad(dist, ((0, p_pad - p), (0, 0), (0, 0)))
+            depth = jnp.pad(depth, ((0, p_pad - p), (0, 0)))
             sizes = jnp.pad(sizes, ((0, p_pad - p), (0, 0)))
-        far_dist = dist.reshape(grid, cpt, m, n).max(axis=1)
+        depth_max = depth.reshape(grid, cpt, m).max(axis=1)
         size_max = sizes.reshape(grid, cpt, m).max(axis=1)
     else:  # tiles straddle candidates: lane-level reduction (superset)
         lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
-        far_dist = dist[lane_cand].reshape(grid, tile, m, n).max(axis=1)
+        depth_max = depth[lane_cand].reshape(grid, tile, m).max(axis=1)
         size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
+    depth_caps = depth_max.astype(jnp.int32)[..., None]
     start_rows = (n - size_max).astype(jnp.int32)[..., None]
-    return far_dist.astype(jnp.int32), start_rows
+    return depth_caps, start_rows
 
 
 def size_sort_candidates(trees: TreeTensors):
@@ -802,13 +837,11 @@ def _fitness_impl(
     lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [
-        tree_spec, tree_spec, tree_spec,
-        pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
-    ]
-    operands = [ops_l, c2_l, const_l, x0_l, ys_l]
+    x0_spec = pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ys_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # ys rows stream via DMA
+    smem_scalar = pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM)
     scratch = [
         pltpu.VMEM((m, sub, LANE), jnp.float32),
         pltpu.VMEM((sub, LANE), jnp.float32),
@@ -816,27 +849,26 @@ def _fitness_impl(
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if deep:
-        # per-(tile, tree, row) "any lane links farther than the window"
-        # scalars, prefetched to SMEM: the in-kernel full-ladder fallback
-        # runs only where one of the tile's candidates actually needs it
-        far_any, start_rows = deep_tile_scalars(trees, b, tile, grid, lp)
-        in_specs.append(
-            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
+        # per-(tile, tree) stack-depth + first-used-row scalars in SMEM; the
+        # stack eval reads no child indices, so c2 is not shipped at all
+        depth_caps, start_rows = deep_tile_scalars(
+            trees, fset.slots, b, tile, grid, lp
         )
-        operands.append(far_any)
-        in_specs.append(
-            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
-        )
-        operands.append(start_rows)
+        in_specs = [tree_spec, tree_spec, x0_spec, ys_spec,
+                    smem_scalar, smem_scalar]
+        operands = [ops_l, const_l, x0_l, ys_l, depth_caps, start_rows]
         scratch += [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
-            pltpu.VMEM((n, sub, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
+            pltpu.VMEM((sub, LANE), jnp.int32),  # sp_scr
+            pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
         ]
-    elif roll_trees:
-        scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]
+    else:
+        in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec]
+        operands = [ops_l, c2_l, const_l, x0_l, ys_l]
+        if roll_trees:
+            scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]
 
     err, alive = pl.pallas_call(
         kernel,
@@ -955,19 +987,18 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
     err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
     eval_deep = _make_deep_tree_eval(fset, n, sub)
 
-    def kernel(ops_ref, c2_ref, const_ref, x0_ref, ts_ref, ys_ref, far_ref,
+    def kernel(ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
                start_ref, err_ref, alive_ref, x_ref, live_ref, t_scr, dt_scr,
-               y_scr, ysem, tree_scr, vals_scr, ysel_scr):
+               y_scr, ysem, tree_scr, planes_scr, sp_scr, top_scr, ysel_scr):
         gi = pl.program_id(0)
 
         def drift(x_tiles):
             def body(mi, _):
                 eval_deep(
-                    _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
-                    _RefRows(const_ref, mi),
-                    lambda i: far_ref[0, mi, i],
-                    x_tiles, vals_scr, ysel_scr,
+                    _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
+                    x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                     start=start_ref[0, mi, 0],
+                    depth_cap=depth_ref[0, mi, 0],
                 )
                 tree_scr[mi] = ysel_scr[...]
                 return 0
@@ -1213,7 +1244,9 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
     ys_l = _lane_rows(y, p, b, lanes, pad, grid, sub)
 
-    far_any, start_rows = deep_tile_scalars(trees, b, tile, grid, lp)
+    depth_caps, start_rows = deep_tile_scalars(
+        trees, fset.slots, b, tile, grid, lp
+    )
 
     kernel = _make_adaptive_fitness_kernel(
         fset, n, m, t_steps, max_steps, rtol, atol, safety, method, sub
@@ -1223,20 +1256,20 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     )
     lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM)
 
     err, alive = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            tree_spec, tree_spec, tree_spec,
+            tree_spec, tree_spec,
             pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
             pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
-            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_scalar,  # stack depth caps
+            smem_scalar,  # first-used-row starts
         ],
         out_specs=(lane_out, lane_out),
         out_shape=(
@@ -1251,11 +1284,13 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pltpu.VMEM((2, d, sub, LANE), jnp.float32),  # y staging
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
-            pltpu.VMEM((n, sub, LANE), jnp.float32),  # vals_scr
+            pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
+            pltpu.VMEM((sub, LANE), jnp.int32),  # sp_scr
+            pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
         ],
-    )(ops_l, c2_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
-      far_any, start_rows)
+    )(ops_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
+      depth_caps, start_rows)
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5

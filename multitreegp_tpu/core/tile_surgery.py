@@ -344,6 +344,57 @@ def sample_leaf(
     return op, jnp.where(take_const, coeff, 0.0)
 
 
+def compact_rows(ops: Array, const: Array) -> Tuple[Array, Array]:
+    """Stable-pack non-EMPTY rows to the bottom (root-last / padding-first
+    form, the ``prune_tree`` invariant) in log2(N) butterfly stages.
+
+    Each kept row must move DOWN by the number of EMPTY rows below it; those
+    shift amounts are non-increasing from top to bottom, and monotone
+    shift-down routing is collision-free when executed bit-serially
+    LSB->MSB: for rows i above j the remainders satisfy r_i >= r_j at every
+    stage (if bit k is set in r_i but not r_j, evenness mod 2^{k+1} forces
+    r_i >= r_j + 2^k), while distinct final slots force
+    p_j - p_i > r_i - r_j >= 2^k — so a mover can neither land on nor
+    overtake a stayer. This replaces an O(N) per-row select scatter (the
+    dominant cost of tree sampling inside the reproduction kernel at deep
+    max_nodes) with ~log2(N) shift+select stages.
+    """
+    n, l = ops.shape
+    ri = rows_iota(n, l)
+    kept = (ops != EMPTY).astype(jnp.int32)
+    # prefix-exclusive kept count via the csum_w matmul trick (MXU):
+    # pref[j] = sum_{i < j} kept[i]
+    rik = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cik = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (rik < cik).astype(jnp.float32)
+    pref = jax.lax.dot_general(
+        tri, kept.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    total = jnp.sum(kept, axis=0, keepdims=True)
+    kept_below = total - pref - kept  # kept rows strictly below j
+    rem = jnp.where(kept != 0, (n - 1 - ri) - kept_below, 0)
+
+    x_ops, x_const = ops, const
+    sk = 1
+    while sk < n:
+        move = jnp.where((rem // sk) % 2 == 1, kept, 0)
+        zi = jnp.zeros((sk, l), jnp.int32)
+        sh = lambda t, fill: jnp.concatenate([fill, t[:-sk]], axis=0)
+        a_move = sh(move, zi)
+        a_ops = sh(x_ops, jnp.full((sk, l), EMPTY, jnp.int32))
+        a_const = sh(x_const, jnp.zeros((sk, l), x_const.dtype))
+        a_rem = sh(rem, zi)
+        arrived = a_move != 0
+        vacated = (move != 0) & ~arrived
+        x_ops = jnp.where(arrived, a_ops, jnp.where(vacated, EMPTY, x_ops))
+        x_const = jnp.where(arrived, a_const, jnp.where(vacated, 0.0, x_const))
+        rem = jnp.where(arrived, a_rem - sk, jnp.where(vacated, 0, rem))
+        kept = jnp.where(arrived, 1, jnp.where(vacated, 0, kept))
+        sk *= 2
+    return x_ops, x_const
+
+
 # ------------------------------------------------------------- grow sampling
 
 
@@ -414,19 +465,16 @@ def sample_tree_tile(
             index == EMPTY, open_slots, jnp.maximum(0, open_slots + ar - 1)
         )
 
-    # compact: dfs row i lands at n - (# kept rows at dfs positions >= i)
-    ri = rows_iota(n, l)
-    out_ops = jnp.zeros((n, l), jnp.int32)
-    out_const = jnp.zeros((n, l), jnp.float32)
-    suffix = jnp.zeros((1, l), jnp.int32)
-    for i in range(s - 1, -1, -1):
-        keep = rows_ops[i] != EMPTY
-        suffix = suffix + keep.astype(jnp.int32)
-        tgt = n - suffix
-        put = (ri == tgt) & keep
-        out_ops = jnp.where(put, rows_ops[i], out_ops)
-        out_const = jnp.where(put, rows_const[i], out_const)
-    return out_ops, out_const, suffix
+    # compact: DFS row i lands at n - (# kept rows at dfs positions >= i).
+    # Materialise the DFS-ordered buffer in tile rows [n-s, n) and butterfly-
+    # pack the kept rows to the bottom (O(log N) stages, see compact_rows).
+    pad_ops = [jnp.full((n - s, l), EMPTY, jnp.int32)] if n > s else []
+    pad_const = [jnp.zeros((n - s, l), jnp.float32)] if n > s else []
+    buf_ops = jnp.concatenate(pad_ops + rows_ops, axis=0)
+    buf_const = jnp.concatenate(pad_const + rows_const, axis=0)
+    out_ops, out_const = compact_rows(buf_ops, buf_const)
+    size = jnp.sum((buf_ops != EMPTY).astype(jnp.int32), axis=0, keepdims=True)
+    return out_ops, out_const, size
 
 
 # ----------------------------------------------------------------- crossover

@@ -127,11 +127,13 @@ def test_fitness_kernel_sde_matches_integrate_sde():
 
 
 def test_deep_fitness_kernel_matches_general(monkeypatch):
-    """Deep-tree fitness kernel (windowed gather + far-link full-ladder
-    fallback, rolled rows) vs the ladder rollout — exact. Interpret mode is
-    too slow for real N>64 shapes, so the deep path is engaged at N=16 by
-    shrinking the unroll gate and the window (links beyond the shrunken
-    window exercise the fallback ladder; asserted present)."""
+    """Deep-tree fitness kernel (stack machine, rolled rows) vs the ladder
+    rollout — exact. Interpret mode is too slow for real N>64 shapes, so the
+    deep path is engaged at N=16 by shrinking the unroll gate; the grown
+    population must include multi-level trees so the plane ladder (stack
+    depth >= 3) actually executes."""
+    import numpy as _np
+
     from multitreegp_tpu.core import pallas_rollout as prl
     from multitreegp_tpu.core.registry import build_function_set
     from multitreegp_tpu.models.environments import VanDerPolOscillator
@@ -139,7 +141,6 @@ def test_deep_fitness_kernel_matches_general(monkeypatch):
     from multitreegp_tpu.ops.initialization import make_population_sampler
 
     monkeypatch.setattr(prl, "UNROLL_MAX_NODES", 8)
-    monkeypatch.setattr(prl, "DEEP_WINDOW", 3)
 
     fset = build_function_set(
         [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
@@ -151,7 +152,13 @@ def test_deep_fitness_kernel_matches_general(monkeypatch):
     data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
     x0s, _, ys, keys = data
     pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(3), 4)
-    assert bool(prl.far_link_rows(pop).any()), "must exercise the fallback"
+    ar = _np.asarray(fset.slots)[_np.asarray(pop.ops)] * (
+        _np.asarray(pop.ops) != 0
+    )
+    depth = _np.cumsum(
+        _np.where(_np.asarray(pop.ops) == 0, 0, 1 - ar), axis=-1
+    ).max()
+    assert depth >= 3, "population too shallow to exercise the plane ladder"
     p, b, d = 4, 2, 2
     with pltpu.force_tpu_interpret_mode():
         mse, alive = prl.rollout_sr_fitness_pallas(

@@ -218,3 +218,26 @@ def test_reproduce_tiles_actions(setup):
     # child 1 fresh lanes: trees replaced (statistically certain to differ)
     fresh = np.asarray(act1)[0] == 2
     assert (np.asarray(c1o)[:, fresh] != np.asarray(ops_t)[:, fresh]).any(axis=0).mean() > 0.9
+
+
+def test_compact_rows_matches_per_lane_scatter(setup):
+    """Butterfly compaction == stable per-lane packing, all sizes/densities."""
+    for n in (8, 32, 128):
+        l = 256
+        k1, k2, k3, k4 = jr.split(jr.fold_in(jr.PRNGKey(9), n), 4)
+        frac = jr.uniform(k1, (1, l))
+        kept = jr.uniform(k2, (n, l)) < frac  # incl. near-empty + near-full
+        ops = jnp.where(kept, jr.randint(k3, (n, l), 1, 9), 0)
+        const = jnp.where(kept, jr.normal(k4, (n, l)), 0.0)
+        o, c = jax.jit(ts.compact_rows)(ops, const)
+        on, cn = np.asarray(ops), np.asarray(const)
+        oo, co = np.asarray(o), np.asarray(c)
+        for lane in range(l):
+            m = on[:, lane] != 0
+            pad = n - int(m.sum())
+            np.testing.assert_array_equal(
+                oo[:, lane], np.concatenate([np.zeros(pad, on.dtype), on[m, lane]])
+            )
+            np.testing.assert_array_equal(
+                co[:, lane], np.concatenate([np.zeros(pad, cn.dtype), cn[m, lane]])
+            )
