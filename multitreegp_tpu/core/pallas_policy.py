@@ -180,7 +180,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
                         data_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
-                        depth_cap=depth_ref[0, mi, 0],
+                        depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
                     )
                     tree_scr[out_base + ci] = ysel_scr[...]
                     return 0
@@ -576,18 +576,18 @@ def rollout_policy_pallas(
     if m >= 2 or deep:  # tree-eval results scratch (kernel roll_trees flag)
         scratch += [pltpu.VMEM((m, SUBLANES, LANE), jnp.float32)]
     if deep:
-        depth_caps, start_rows = deep_tile_scalars(
+        row_trips, start_rows = deep_tile_scalars(
             trees, fset.slots, b, TILE, grid, lp
         )
         in_specs = [
             tree_spec, tree_spec,
             vec_spec(d_aug), vec_spec(tgt_l.shape[0]), par_spec,
-            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-row ladder trips
             pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
-        operands = [ops_l, const_l, x0_l, tgt_l, par_l, depth_caps,
+        operands = [ops_l, const_l, x0_l, tgt_l, par_l, row_trips,
                     start_rows]
         scratch += [
             pltpu.VMEM((stack_planes(n), SUBLANES, LANE), jnp.float32),

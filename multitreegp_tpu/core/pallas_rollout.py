@@ -267,7 +267,7 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                         _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
                         x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                         start=start_ref[0, mi, 0],
-                        depth_cap=depth_ref[0, mi, 0],
+                        depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
                     )
                     tree_scr[mi] = ysel_scr[...]
                     return 0
@@ -433,9 +433,14 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
     (first operand, the adjacent child's value — same operand order as the
     unrolled ladder's ``x = vals[i-1]``) and ``planes_scr[sp-2]`` (second
     operand), net-popping one. Plane reads/writes are one fused select
-    ladder over ``depth_cap - 1`` planes (``depth_cap``: the tile's max
-    stack depth, SMEM scalar — plane indices never exceed it by the
-    push-bound argument in :func:`deep_tile_scalars`).
+    ladder over the planes live AT THIS ROW: ``depth_cap`` is either a
+    per-(tile, tree) scalar (the tile's max stack depth; the ladder runs
+    ``depth_cap - 1`` trips) or a callable ``depth_cap(i) -> trips`` giving
+    the exact per-row trip count (max plane index accessed at row ``i``
+    over the tile's lanes, plus one — :func:`deep_tile_scalars`). The
+    per-row form is the deep default: a tree's max stack depth is reached
+    on a few rows only (evolved N=128 populations: per-row mean ~4 vs
+    per-tree p99 ~24), so row-local bounds cut most ladder trips.
 
     ``start`` (scalar, possibly traced) skips the all-padding row prefix:
     the layout is padding-first with every tree's used rows a contiguous
@@ -456,7 +461,13 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
         zero = jnp.zeros((sub, LANE), jnp.float32)
         one = jnp.ones((sub, LANE), jnp.float32)
         izero = jnp.zeros((sub, LANE), jnp.int32)
-        cap = planes_scr.shape[0] if depth_cap is None else depth_cap
+        if depth_cap is None:
+            trips = lambda i: planes_scr.shape[0] - 1
+        elif callable(depth_cap):
+            trips = depth_cap  # exact per-row trip counts (host-precomputed)
+        else:
+            cap = depth_cap
+            trips = lambda i: jnp.maximum(cap - 1, 0)
 
         sp_scr[...] = izero
         top_scr[...] = zero
@@ -483,7 +494,7 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
                 )
                 return 0
 
-            jax.lax.fori_loop(0, jnp.maximum(cap - 1, 0), plane, 0)
+            jax.lax.fori_loop(0, trips(i), plane, 0)
             x = top
             y = y_scr[...]
 
@@ -526,17 +537,21 @@ def far_link_rows(trees: TreeTensors, window: int | None = None):
 
 def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
                       grid: int, lp: int):
-    """Per-(lane-tile, tree) SMEM scalars for the deep stack kernels.
+    """Per-(lane-tile, tree) SMEM streams for the deep stack kernels.
 
-    Returns ``(depth_caps (grid, m, 1) int32, start_rows (grid, m, 1) int32)``
-    (trailing singleton so the per-tile SMEM block's last two dims equal the
-    array's — Mosaic rejects 2-D ``(1, m)`` blocks over ``(grid, m)``):
-    ``depth_caps[g, mi]`` — the MAX stack depth over tile ``g``'s lanes
-    (inclusive of the top register): the running max of
-    ``cumsum(1 - arity)`` over used rows. The in-kernel plane ladder runs
-    over ``depth_cap - 1`` planes, which is exact: a plane index is
-    ``sp - 2`` (read) or ``sp - 1`` (push spill with ``sp <= depth - 1``
-    before the push), both ``< depth - 1``.
+    Returns ``(row_trips (grid, m, n) int32, start_rows (grid, m, 1) int32)``
+    (trailing singleton on ``start_rows`` so the per-tile SMEM block's last
+    two dims equal the array's — Mosaic rejects 2-D ``(1, m)`` blocks over
+    ``(grid, m)``):
+    ``row_trips[g, mi, i]`` — the EXACT plane-ladder trip count at row ``i``
+    over tile ``g``'s lanes: a binary row reads plane ``sp - 2`` (``sp``:
+    the lane's stack pointer entering the row, the exclusive running sum of
+    ``1 - arity`` over used rows), a leaf row spills to plane ``sp - 1``,
+    other rows touch no plane — so the per-lane need is ``sp - 1`` / ``sp``
+    / ``0`` trips respectively, maxed over lanes. Row-local bounds matter:
+    a tree's max stack depth is hit on a few rows only (evolved N=128
+    populations: per-row mean ~4 vs per-tree p99 ~24 — most rows' ladders
+    shrink ~5x vs a per-tree cap).
     ``start_rows[g, mi]`` — the tile's first used row ``n - max(size)``
     (rows below are EMPTY padding on every lane, skipped exactly).
     ``slots`` is the function set's arity-by-opcode table. Lanes are
@@ -548,23 +563,28 @@ def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
     used = trees.ops != EMPTY
     arity = jnp.take(jnp.asarray(slots, jnp.int32), trees.ops, axis=0)
     w = jnp.where(used, 1 - arity, 0)
-    depth = jnp.max(jnp.cumsum(w, axis=-1), axis=-1).astype(jnp.int32)  # (P, m)
+    sp_after = jnp.cumsum(w, axis=-1)
+    sp_before = sp_after - w
+    need = jnp.where(
+        used & (arity == 2), sp_before - 1,
+        jnp.where(used & (arity == 0), sp_before, 0),
+    ).astype(jnp.int32)  # (P, m, N)
+    need = jnp.maximum(need, 0)
     sizes = jnp.sum(used, axis=-1).astype(jnp.int32)  # (P, m)
     if tile % b == 0:
         cpt = tile // b  # candidates per lane tile
         p_pad = grid * cpt
         if p_pad > p:
-            depth = jnp.pad(depth, ((0, p_pad - p), (0, 0)))
+            need = jnp.pad(need, ((0, p_pad - p), (0, 0), (0, 0)))
             sizes = jnp.pad(sizes, ((0, p_pad - p), (0, 0)))
-        depth_max = depth.reshape(grid, cpt, m).max(axis=1)
+        row_trips = need.reshape(grid, cpt, m, n).max(axis=1)
         size_max = sizes.reshape(grid, cpt, m).max(axis=1)
     else:  # tiles straddle candidates: lane-level reduction (superset)
         lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
-        depth_max = depth[lane_cand].reshape(grid, tile, m).max(axis=1)
+        row_trips = need[lane_cand].reshape(grid, tile, m, n).max(axis=1)
         size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
-    depth_caps = depth_max.astype(jnp.int32)[..., None]
     start_rows = (n - size_max).astype(jnp.int32)[..., None]
-    return depth_caps, start_rows
+    return row_trips.astype(jnp.int32), start_rows
 
 
 def size_sort_candidates(trees: TreeTensors):
@@ -849,14 +869,17 @@ def _fitness_impl(
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if deep:
-        # per-(tile, tree) stack-depth + first-used-row scalars in SMEM; the
-        # stack eval reads no child indices, so c2 is not shipped at all
-        depth_caps, start_rows = deep_tile_scalars(
+        # per-(tile, tree, row) ladder-trip counts + per-(tile, tree)
+        # first-used-row scalars in SMEM; the stack eval reads no child
+        # indices, so c2 is not shipped at all
+        row_trips, start_rows = deep_tile_scalars(
             trees, fset.slots, b, tile, grid, lp
         )
+        smem_rows = pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM)
         in_specs = [tree_spec, tree_spec, x0_spec, ys_spec,
-                    smem_scalar, smem_scalar]
-        operands = [ops_l, const_l, x0_l, ys_l, depth_caps, start_rows]
+                    smem_rows, smem_scalar]
+        operands = [ops_l, const_l, x0_l, ys_l, row_trips, start_rows]
         scratch += [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
             pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
@@ -998,7 +1021,7 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                     _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
                     x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
                     start=start_ref[0, mi, 0],
-                    depth_cap=depth_ref[0, mi, 0],
+                    depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
                 )
                 tree_scr[mi] = ysel_scr[...]
                 return 0
@@ -1244,7 +1267,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
     ys_l = _lane_rows(y, p, b, lanes, pad, grid, sub)
 
-    depth_caps, start_rows = deep_tile_scalars(
+    row_trips, start_rows = deep_tile_scalars(
         trees, fset.slots, b, tile, grid, lp
     )
 
@@ -1258,6 +1281,8 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
                             memory_space=pltpu.VMEM)
     smem_scalar = pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM)
+    smem_rows = pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
 
     err, alive = pl.pallas_call(
         kernel,
@@ -1268,7 +1293,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
             pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
-            smem_scalar,  # stack depth caps
+            smem_rows,  # per-row ladder-trip counts
             smem_scalar,  # first-used-row starts
         ],
         out_specs=(lane_out, lane_out),
@@ -1290,7 +1315,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
         ],
     )(ops_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
-      depth_caps, start_rows)
+      row_trips, start_rows)
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5

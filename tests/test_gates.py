@@ -30,16 +30,15 @@ def test_policy_vmem_gate(monkeypatch):
     env = _TileEnv()
     avail = lambda m, n: pp.policy_rollout_available(env, None, _trees(4, m, n), {})
 
-    # (3m+1)*n rows of 16 KB must stay under 10 MB -> (3m+1)*n <= 640
-    assert avail(1, 128)
-    assert avail(1, 160)  # exactly at the budget
-    assert not avail(1, 192)
+    # (2*m*n + stack_planes(n)) rows of 16 KB must stay under 10 MB ->
+    # <= 640 rows (the stack eval ships 2 tree streams, no child indices)
+    assert avail(1, 128)  # 321 rows
+    assert avail(1, 192)  # 481 rows (the old 3-stream gate rejected this)
     assert avail(3, 30)  # the dynamic-policy notebook shape
-    assert avail(2, 64)
-    # the SR kernel's m*n <= 512 cap would admit both of these; at 16 KB/row
-    # their tree streams alone exceed VMEM
-    assert not avail(2, 128)
-    assert not avail(3, 128)
+    assert avail(2, 64)  # 289 rows
+    assert avail(2, 128)  # 577 rows — admitted since the stack rewrite
+    assert not avail(1, 256)  # 641 rows: one over the budget
+    assert not avail(3, 128)  # 833 rows
     # hard node ceiling independent of m
     assert not avail(1, prl.DEEP_MAX_NODES * 2)
 
