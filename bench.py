@@ -178,19 +178,32 @@ def main(
           f"{[f'{t:.4f}' for t in times]}", file=sys.stderr)
 
     if method == "adaptive":
-        # conservative UNDERCOUNT for the adaptive solver: only the 4
-        # minimum accepted steps per save interval (dt0 = span/4) x the
-        # Dopri5 stage count are credited; rejected steps and controller
-        # refinement are free in this metric, so the true rate is >= this
-        node_evals = node_evals_per_evaluation(
-            population_size=population_size,
-            num_trees=fset.num_trees,
-            max_nodes=max_nodes,
-            batch_size=batch_size,
-            num_save_points=ts.shape[0],
-            substeps=4,
-            method="euler",
-        ) * 7  # dopri5: 7 drift calls per step
+        # EXACT work count from the kernel's controller-effort telemetry:
+        # per-tile ATTEMPTED embedded steps (accepted + rejected — the tile
+        # executes a step while any lane is active, so this is what the
+        # chip computed) x drift calls per step x trees x nodes x tile lanes
+        from multitreegp_tpu.core.pallas_rollout import (
+            SUBLANES_DEEP, adaptive_solver_stats,
+        )
+        from multitreegp_tpu.models.integrators import adaptive_step_budget
+
+        x0s, _, ys_t, _ = data
+        d = x0s.shape[-1]
+        _, _, steps = jax.block_until_ready(adaptive_solver_stats(
+            pop, jnp.broadcast_to(x0s[None], (population_size, batch_size, d)),
+            ts, ys_t, fset, rtol=evaluator.rtol,
+            atol=evaluator.atol, max_steps=adaptive_step_budget(substeps),
+            method=evaluator.adaptive_method,
+        ))
+        drifts_per_step = {"dopri5": 7, "bosh3": 4}[evaluator.adaptive_method]
+        tile_lanes = SUBLANES_DEEP * 128
+        node_evals = (
+            float(jnp.sum(steps)) * drifts_per_step
+            * fset.num_trees * max_nodes * tile_lanes
+        )
+        print(f"# adaptive attempted steps: total {float(jnp.sum(steps)):.0f}"
+              f" over {steps.shape[0]} tiles x {ts.shape[0] - 1} intervals",
+              file=sys.stderr)
     else:
         node_evals = node_evals_per_evaluation(
             population_size=population_size,
@@ -380,6 +393,7 @@ _METRIC_BY_CFG = {
     "policy_nb": "policy_node_evals_per_sec_per_chip",
     "gen": "generations_per_sec_pop4096",
     "gen_opt": "generations_per_sec_pop4096_constopt",
+    "gen_opt_deep": "generations_per_sec_pop4096_constopt_deep",
     "gen_deep": "generations_per_sec_pop4096_deep",
 }
 
@@ -395,6 +409,12 @@ if __name__ == "__main__":
     elif cfg == "gen_opt":
         # the reference's production loop shape: const-opt rounds included
         main_generations(coefficient_optimisation=True)
+    elif cfg == "gen_opt_deep":
+        # const-opt at deep trees: Adam refinement recomputes through the
+        # per-call interpreter kernels (windowed gather) on top-k candidates
+        main_generations(max_nodes=128, max_init_depth=7,
+                         coefficient_optimisation=True,
+                         metric_suffix="_deep")
     elif cfg == "gen_deep":
         # end-to-end generations with deep trees: the N<=256 fused reproduce
         # (shift-rows surgery) + the windowed deep rollout, one launch each

@@ -16,12 +16,13 @@ parameters resident in VMEM for the whole trajectory.
 
 Engages only when: TPU + concrete uniform grid + ``env.tile_safe_drift`` +
 ``max_nodes <= DEEP_MAX_NODES`` with the VMEM byte gate of
-:func:`policy_rollout_available` (3 tree streams + row scratch under 10 MB
-at 16 KB/row, i.e. ``(3m+1)*N <= 640``). The rolled-row eval (windowed
-gather + per-tile dynamic row start over size-sorted lanes) is the default
-at every N after the r2 hardware A/B (2.3x over the unrolled ladder);
-``MTGP_POLICY_UNROLLED=1`` restores the fully-unrolled ladder for N <=
-UNROLL_MAX_NODES. The general scan path covers everything else. Three exogenous-input classes stream from HBM through a double-buffered
+:func:`policy_rollout_available` (2 tree streams + the stack-plane scratch
+under 10 MB at 16 KB/row, i.e. ``2*m*N + stack_planes(N) <= 640``). The
+rolled-row eval (stack machine + per-tile dynamic row start over
+size-sorted lanes) is the default at every N after the r2 hardware A/B
+(2.3x over the unrolled ladder); ``MTGP_POLICY_UNROLLED=1`` restores the
+fully-unrolled ladder for N <= UNROLL_MAX_NODES. The general scan path
+covers everything else. Three exogenous-input classes stream from HBM through a double-buffered
 staging tile:
 
 * physics parameters — scalars / per-trajectory ``(B,)`` values resident in
@@ -558,7 +559,7 @@ def rollout_policy_pallas(
     # (full (T, rows, ...) array) and stream through a 2-slot VMEM staging
     # tile; constant params are one VMEM-resident row
     par_spec = (
-        pl.BlockSpec(memory_space=pltpu.ANY)
+        pl.BlockSpec(memory_space=pl.ANY)
         if streamed
         else vec_spec(par_l.shape[0])
     )
@@ -608,7 +609,7 @@ def rollout_policy_pallas(
         out_specs=(
             # full trajectory stays in HBM; the kernel DMAs one save row at a
             # time from a double-buffered VMEM staging tile
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),

@@ -859,7 +859,7 @@ def _fitness_impl(
 
     x0_spec = pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
-    ys_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # ys rows stream via DMA
+    ys_spec = pl.BlockSpec(memory_space=pl.ANY)  # ys rows stream via DMA
     smem_scalar = pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM)
     scratch = [
@@ -951,7 +951,7 @@ def _rollout_impl(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # trajectory stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # trajectory stays in HBM
             pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -1011,8 +1011,9 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
     eval_deep = _make_deep_tree_eval(fset, n, sub)
 
     def kernel(ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
-               start_ref, err_ref, alive_ref, x_ref, live_ref, t_scr, dt_scr,
-               y_scr, ysem, tree_scr, planes_scr, sp_scr, top_scr, ysel_scr):
+               start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
+               t_scr, dt_scr, y_scr, ysem, tree_scr, planes_scr, sp_scr,
+               top_scr, ysel_scr):
         gi = pl.program_id(0)
 
         def drift(x_tiles):
@@ -1100,6 +1101,7 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
             y_copy(1, 1).start()
         y_copy(0, 0).wait()
         err_ref[0] = sq_err(x, 0)
+        steps_ref[0] = jnp.zeros((sub, LANE), jnp.float32)
 
         def save_step(ti, _):
             y_copy(ti + 1, (ti + 1) % 2).wait()
@@ -1153,7 +1155,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 step(s, 0)
                 return s + 1
 
-            jax.lax.while_loop(w_cond, w_body, 0)
+            trips = jax.lax.while_loop(w_cond, w_body, 0)
+            # controller-effort telemetry: attempted (accepted + rejected)
+            # embedded steps this tile actually executed — the honest
+            # work count for the adaptive bench (the whole tile steps while
+            # any lane is active, so per-tile trips x tile lanes IS the work)
+            steps_ref[0] = steps_ref[0] + jnp.float32(trips)
             # lanes that never reached t1 ran out of steps -> dead (max_steps)
             reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
             live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
@@ -1179,7 +1186,10 @@ def adaptive_rollout_available(fset: FunctionSet, trees: TreeTensors,
     return (
         tpu_kernels_available()
         and n <= DEEP_MAX_NODES
-        and m * n <= 512  # VMEM cap: 3 tree streams + row-value scratch
+        # VMEM cap at 4 KB/row (8 sublanes): 2 tree streams + the stack
+        # plane scratch within 10 MB — admits m=3 (Lorenz) at N=256, which
+        # the 3-stream-era m*n <= 512 cap rejected
+        and (2 * m * n + stack_planes(n)) <= 2560
         and m == d  # m == state dim (SR semantics)
     )
 
@@ -1247,8 +1257,26 @@ def rollout_sr_fitness_adaptive_pallas(
     return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
 
 
+def adaptive_solver_stats(trees, x0, ts, ys, fset, rtol=1e-4, atol=1e-6,
+                          max_steps=32, method="bosh3", safety=0.9):
+    """Controller-effort telemetry for the fused adaptive kernel: returns
+    ``(mse, alive, steps)`` where ``steps`` is the per-lane-tile count of
+    ATTEMPTED embedded steps (accepted + rejected, summed over the save
+    grid) — the whole tile executes a step while any of its lanes is
+    active, so ``sum(steps) * stages * m * max_nodes * tile_lanes`` is the
+    work the chip actually performed. Mirrors ``diffrax``'s solver stats
+    (``num_steps``), which the reference discards; the bench uses it to
+    count adaptive node-evals honestly instead of assuming the 4-step
+    minimum. Not differentiable (use ``rollout_sr_fitness_adaptive_pallas``
+    for gradients)."""
+    return _adaptive_fitness_impl(
+        trees, x0, ts, ys, fset, rtol, atol, max_steps, method, safety,
+        return_steps=True,
+    )
+
+
 def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
-                           method, safety):
+                           method, safety, return_steps=False):
     p, b, d = x0.shape
     m = trees.batch_shape[-1]
     n = trees.max_nodes
@@ -1284,7 +1312,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     smem_rows = pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
 
-    err, alive = pl.pallas_call(
+    err, alive, steps = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -1292,14 +1320,15 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ys rows stream via DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # ys rows stream via DMA
             smem_rows,  # per-row ladder-trip counts
             smem_scalar,  # first-used-row starts
         ],
-        out_specs=(lane_out, lane_out),
+        out_specs=(lane_out, lane_out, lane_out),
         out_shape=(
             jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
             jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),  # steps
         ),
         scratch_shapes=[
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # x_ref
@@ -1321,4 +1350,8 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
     mse = mse[inv_order]
     alive_last = alive_last[inv_order]
+    if return_steps:
+        # per-tile attempted embedded steps (same value on every lane of a
+        # tile): the honest controller-effort count for benchmarking
+        return mse, alive_last, steps[:, 0, 0]
     return mse, alive_last

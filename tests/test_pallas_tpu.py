@@ -115,6 +115,47 @@ def test_fused_rollout_matches_unfused():
 
 
 @requires_tpu
+def test_fused_adaptive_matches_general():
+    """Fused adaptive (embedded Dopri5 + per-lane step control + in-kernel
+    MSE + solver stats) vs the general integrate_adaptive path, short
+    horizon. Also pins the solver-stats output's invariants on hardware."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = _fset()
+    env = VanDerPolOscillator(0.0, 0.0)
+    pop = make_population_sampler(fset, 4, 32)(jr.PRNGKey(1), 256)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=8, substeps=8)
+    x0s, _, ys, _ = data
+    p, b, d = 256, 8, 2
+
+    mse, alive, steps = jax.block_until_ready(prl.adaptive_solver_stats(
+        pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
+        rtol=1e-4, atol=1e-6, max_steps=16, method="dopri5",
+    ))
+    intervals = ts.shape[0] - 1
+    st = np.asarray(steps)
+    assert (st >= intervals).all() and (st <= intervals * 16).all(), st
+
+    ev = SREvaluator(fset, substeps=8, method="adaptive", rtol=1e-4,
+                     atol=1e-6, adaptive_method="dopri5",
+                     interpreter="gather")
+    xs, alive_l = ev._rollout(pop, x0s, ts)
+    err = np.asarray(xs) - np.asarray(jnp.transpose(ys, (1, 0, 2)))[:, None]
+    mse_ref = np.mean(np.sum(err**2, axis=-1), axis=0)
+    af, al = np.asarray(alive), np.asarray(alive_l[-1])
+    assert (af == al).mean() > 0.99
+    both = af & al
+    rel = np.abs(np.asarray(mse)[both] - mse_ref[both]) / (
+        np.abs(mse_ref[both]) + 1e-9)
+    assert (rel < 1e-3).mean() > 0.97 and np.median(rel) < 1e-4, (
+        rel.max(), np.median(rel))
+
+
+@requires_tpu
 def test_fused_policy_rollouts_match_general():
     """Static + dynamic policy fused kernels vs the general scan path on
     Acrobot (measured bit-identical for the clipped/wrapped dynamics)."""

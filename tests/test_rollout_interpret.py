@@ -256,6 +256,18 @@ def test_adaptive_fitness_kernel_matches_general(adaptive_method):
             pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
             rtol=1e-3, atol=1e-5, max_steps=8, method=adaptive_method,
         )
+        # controller-effort telemetry: same fitness, plus per-tile attempted
+        # step counts in [intervals, intervals * max_steps]
+        mse_s, alive_s, steps = prl.adaptive_solver_stats(
+            pop, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys, fset,
+            rtol=1e-3, atol=1e-5, max_steps=8, method=adaptive_method,
+        )
+        np.testing.assert_array_equal(np.asarray(mse_s), np.asarray(mse))
+        np.testing.assert_array_equal(np.asarray(alive_s), np.asarray(alive))
+        intervals = ts.shape[0] - 1
+        st = np.asarray(steps)
+        assert st.shape == (1,)  # 8 lanes -> one (8, 128) tile
+        assert (st >= intervals).all() and (st <= intervals * 8).all(), st
 
     ev = SREvaluator(fset, substeps=8, method="adaptive", rtol=1e-3,
                      atol=1e-5, adaptive_method=adaptive_method,
