@@ -323,6 +323,7 @@ def main_generations(
     max_nodes: int = 32,
     max_init_depth: int = 4,
     coefficient_optimisation: bool = False,
+    shard: bool = False,
     metric_suffix: str = "",
 ):
     """Full-generation throughput: evaluate + select + crossover/mutate +
@@ -351,10 +352,12 @@ def main_generations(
         max_init_depth=max_init_depth,
         coefficient_optimisation=coefficient_optimisation,
     )
-    warm, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)  # compile
+    warm, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations,
+                           shard=shard)  # compile
     float(jnp.sum(warm))
     t0 = time.perf_counter()
-    best_fit, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)
+    best_fit, _, _, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations,
+                               shard=shard)
     float(jnp.sum(best_fit))  # scalar fetch: reliable completion (see main())
     rate = generations / (time.perf_counter() - t0)
     print(
@@ -394,6 +397,7 @@ _METRIC_BY_CFG = {
     "gen": "generations_per_sec_pop4096",
     "gen_opt": "generations_per_sec_pop4096_constopt",
     "gen_opt_deep": "generations_per_sec_pop4096_constopt_deep",
+    "gen_shard": "generations_per_sec_pop4096_shard",
     "gen_deep": "generations_per_sec_pop4096_deep",
 }
 
@@ -409,6 +413,11 @@ if __name__ == "__main__":
     elif cfg == "gen_opt":
         # the reference's production loop shape: const-opt rounds included
         main_generations(coefficient_optimisation=True)
+    elif cfg == "gen_shard":
+        # the production multi-chip composition (fit(shard=True): explicit
+        # collectives + fused kernels inside shard_map) on the local mesh —
+        # on one chip this measures the collective-path overhead vs "gen"
+        main_generations(shard=True, metric_suffix="_shard")
     elif cfg == "gen_opt_deep":
         # const-opt at deep trees: Adam refinement recomputes through the
         # per-call interpreter kernels (windowed gather) on top-k candidates

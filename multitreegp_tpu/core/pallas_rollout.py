@@ -455,6 +455,14 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
     # fresh jnp array, which inside a trace is a tracer that ``int()`` rejects
     arities = np.asarray(jax.device_get(fset.arities))
     binary_ops = [OP_START + k for k, a in enumerate(arities) if int(a) == 2]
+    # the common operator sets list all binaries first (+,-,*,/ then
+    # sin/cos...), making the binary opcodes a contiguous range — detect
+    # that statically and emit one range compare per row instead of a
+    # per-opcode equality ladder (both branches are semantically identical)
+    binary_contiguous = (
+        len(binary_ops) > 0
+        and binary_ops == list(range(binary_ops[0], binary_ops[-1] + 1))
+    )
 
     def eval_tree(ops_rows, const_rows, x_tiles, planes_scr, sp_scr,
                   top_scr, y_scr, start=0, depth_cap=None):
@@ -477,9 +485,14 @@ def _make_deep_tree_eval(fset: FunctionSet, n: int, sub: int):
             sp = sp_scr[...]
             top = top_scr[...]
             is_leaf = (op == CONST) | (op >= var_start)
-            is2 = izero
-            for opc in binary_ops:
-                is2 = jnp.where(op == opc, 1, is2)
+            if binary_contiguous:
+                is2 = jnp.where(
+                    (op >= binary_ops[0]) & (op <= binary_ops[-1]), 1, izero
+                )
+            else:
+                is2 = izero
+                for opc in binary_ops:
+                    is2 = jnp.where(op == opc, 1, is2)
 
             # one pass over the live planes: read the second operand
             # (binary rows, plane sp-2) and spill the old top (leaf rows,
