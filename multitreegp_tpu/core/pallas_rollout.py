@@ -108,6 +108,58 @@ def _make_sr_tree_eval(fset: FunctionSet, n: int, sub: int = SUBLANES):
     return eval_tree
 
 
+def _make_sr_tree_eval_when(fset: FunctionSet, n: int, sub: int = SUBLANES):
+    """Padding-prefix-skipping variant of :func:`_make_sr_tree_eval`.
+
+    The rolled-row A/B at shallow N lost to the unrolled ladder because the
+    skip's savings were eaten by dynamic row indexing (r2 hardware: 4.05e10
+    vs 6.46e10 at N=32). This hybrid keeps BOTH advantages: every row index
+    stays a python int (static selects, static scratch addressing), and each
+    row's whole body sits under a ``pl.when(i >= start)`` — a scalar-predicate
+    branch Mosaic genuinely skips, so the all-padding prefix of a size-sorted
+    lane tile costs ~nothing. Row values live in a ``(N, sub, LANE)`` VMEM
+    plane scratch at static indices instead of SSA values (pl.when bodies
+    cannot yield), which is where Mosaic would have spilled a 32-plane SSA
+    ladder anyway.
+
+    Garbage safety: rows below ``start`` leave their plane uninitialised, but
+    subtree contiguity (children of used rows are used rows, trees.py
+    invariants) means a used row's ``c2 == j`` / leaf / op selects never pick
+    a garbage plane, and ``jnp.where`` does not propagate unselected NaNs.
+    """
+    var_start = fset.var_start
+
+    def eval_tree(ops_tile, c2_tile, const_tile, x_tiles, vals_scr, start):
+        zero = jnp.zeros((sub, LANE), jnp.float32)
+        one = jnp.ones((sub, LANE), jnp.float32)
+        for i in range(n):
+            @pl.when(jnp.asarray(i, jnp.int32) >= start)
+            def _(i=i):
+                op = ops_tile[i]
+                c2 = c2_tile[i]
+                x = vals_scr[i - 1] if i else zero
+                y = zero
+                for j in range(i - 1):
+                    y = jnp.where(c2 == j, vals_scr[j], y)
+                leaf = zero
+                for var in range(min(len(x_tiles), fset.num_variables)):
+                    leaf = jnp.where(op == var_start + var, x_tiles[var], leaf)
+                val = zero
+                for k, fn in enumerate(fset.operator_fns):
+                    sel = op == (OP_START + k)
+                    xs = jnp.where(sel, x, one)
+                    ys = jnp.where(sel, y, one)
+                    val = jnp.where(sel, fn(xs, ys), val)
+                val = jnp.where(op == CONST, const_tile[i], val)
+                val = jnp.where(op >= var_start, leaf, val)
+                vals_scr[i] = val
+        # the root row n-1 is used on every non-padding lane (root-last,
+        # size >= 1), so its plane is always written before this read
+        return vals_scr[n - 1]
+
+    return eval_tree
+
+
 def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                          substeps: int, dt: float, method: str):
     stages, final_scale = _RK_TABLES[method]
@@ -227,7 +279,7 @@ def _make_rollout_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
                          substeps: int, dt: float, method: str,
                          process_noise: bool = False, sub: int = SUBLANES,
-                         deep: bool = False):
+                         deep: bool = False, skip: bool = False):
     """Rollout + in-kernel MSE: never materialises the trajectory.
 
     The SR fitness only needs ``mean_t sum_d (x_t - y_t)^2`` per lane; the
@@ -248,6 +300,8 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
     roll_sub = substeps >= 2
     if deep:
         eval_deep = _make_deep_tree_eval(fset, n, sub)
+    elif skip:
+        eval_when = _make_sr_tree_eval_when(fset, n, sub)
     else:
         eval_tree = _make_sr_tree_eval(fset, n, sub)
 
@@ -256,6 +310,9 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
             (ops_ref, const_ref, x0_ref, ys_ref, depth_ref, start_ref,
              err_ref, alive_ref, x_ref, live_ref, y_scr, ysem,
              tree_scr, planes_scr, sp_scr, top_scr, ysel_scr) = refs
+        elif skip:
+            (ops_ref, c2_ref, const_ref, x0_ref, ys_ref, start_ref,
+             err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra) = refs
         else:
             (ops_ref, c2_ref, const_ref, x0_ref, ys_ref,
              err_ref, alive_ref, x_ref, live_ref, y_scr, ysem, *extra) = refs
@@ -274,6 +331,32 @@ def _make_fitness_kernel(fset: FunctionSet, n: int, m: int, t_steps: int,
 
                 jax.lax.fori_loop(0, m, body, 0)
                 return [tree_scr[mi] for mi in range(m)]
+        elif skip and roll_trees:
+            tree_scr, vals_scr = extra
+
+            def drift(x_tiles):
+                def body(mi, _):
+                    tree_scr[mi] = eval_when(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi), x_tiles,
+                        vals_scr, start_ref[0, mi, 0],
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        elif skip:
+            vals_scr = extra[0]
+            ops = [[ops_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            c2s = [[c2_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+            consts = [[const_ref[mi, i, 0] for i in range(n)] for mi in range(m)]
+
+            def drift(x_tiles):
+                return [
+                    eval_when(ops[mi], c2s[mi], consts[mi], x_tiles,
+                              vals_scr, start_ref[0, mi, 0])
+                    for mi in range(m)
+                ]
         elif roll_trees:
             tree_scr = extra[0]
 
@@ -833,14 +916,19 @@ def _fitness_impl(
     import os
 
     deep = n > UNROLL_MAX_NODES or os.environ.get("MTGP_SR_FORCE_DEEP") == "1"
+    # shallow default: pl.when row-gating on the unrolled ladder (static
+    # selects + static scratch addressing, padding-prefix rows branched
+    # over). MTGP_SR_NO_SKIP=1 restores the plain unrolled ladder for A/B.
+    skip = not deep and os.environ.get("MTGP_SR_NO_SKIP") != "1"
     sub = SUBLANES_DEEP if deep else SUBLANES
     tile = sub * LANE
 
     inv_order = None
-    if deep:
-        # size-sorted lanes: the deep kernel's row loop starts at the TILE's
-        # first used row (padding-first layout), so grouping similar-sized
-        # candidates into the same tile makes that bound tight
+    if deep or skip:
+        # size-sorted lanes: the deep kernel's row loop (and the shallow
+        # skip kernel's pl.when gate) starts at the TILE's first used row
+        # (padding-first layout), so grouping similar-sized candidates into
+        # the same tile makes that bound tight
         trees, order, inv_order = size_sort_candidates(trees)
         x0 = x0[order]
 
@@ -863,6 +951,7 @@ def _fitness_impl(
     kernel, roll_trees = _make_fitness_kernel(
         fset, n, m, t_steps, substeps, dt, method,
         process_noise=process_noise_rows is not None, sub=sub, deep=deep,
+        skip=skip,
     )
     tree_spec = pl.BlockSpec(
         (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
@@ -900,6 +989,14 @@ def _fitness_impl(
             pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
         ]
+    elif skip:
+        _, start_rows = deep_tile_scalars(trees, fset.slots, b, tile, grid, lp)
+        in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec,
+                    smem_scalar]
+        operands = [ops_l, c2_l, const_l, x0_l, ys_l, start_rows]
+        if roll_trees:
+            scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]  # tree_scr
+        scratch += [pltpu.VMEM((n, sub, LANE), jnp.float32)]  # vals planes
     else:
         in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec]
         operands = [ops_l, c2_l, const_l, x0_l, ys_l]
