@@ -375,6 +375,96 @@ def main_generations(
     return rate
 
 
+def main_evolved(
+    population_size: int = 4096,
+    batch_size: int = 16,
+    horizon: float = 10.0,
+    dt: float = 0.2,
+    generations: int = 20,
+    max_nodes: int = 32,
+    max_init_depth: int = 4,
+    repeats: int = 5,
+    metric_suffix: str = "",
+):
+    """Steady-state eval throughput on an EVOLVED population (VERDICT r2 #5):
+    fresh-population benches hide size bloat — after ~20 generations the
+    population's mean tree size grows ~5x (crossover splices subtrees far
+    apart, mean size ~30 at N=128) and the r2 quadratic-gather pathology was
+    invisible to every fresh-pop config. This config evolves 20 generations
+    first, then times evaluation of the resulting bloated population with the
+    same chained-scan methodology as `main()`."""
+    from multitreegp_tpu import GeneticProgramming
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.utils.metrics import node_evals_per_evaluation
+
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, horizon, dt)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=batch_size, substeps=8)
+    evaluator = SREvaluator(substeps=1)
+    gp = GeneticProgramming(
+        num_generations=generations,
+        population_size=population_size // 8,
+        fitness_function=evaluator,
+        operator_list=[("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+                       ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        variable_list=[["x0", "x1"]],
+        layer_sizes=[2],
+        num_populations=8,
+        max_nodes=max_nodes,
+        max_init_depth=max_init_depth,
+    )
+    _, _, final_pop, _ = gp.fit(jr.PRNGKey(1), data, num_generations=generations)
+    pop = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), final_pop
+    )
+    sizes = jnp.sum(pop.ops != 0, axis=(1, 2))
+    print(f"# evolved population after {generations} gens: mean size "
+          f"{float(sizes.mean()):.1f}, p99 {float(jnp.percentile(sizes, 99)):.0f},"
+          f" max {int(sizes.max())} (N={max_nodes})", file=sys.stderr)
+
+    chain_k = 10
+
+    def chained(const, _):
+        fit = evaluator.evaluate_population(pop._replace(const=const), data)
+        return const + 1e-30 * jnp.min(fit), fit
+
+    run_k = jax.jit(
+        lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
+    )
+    float(run_k(pop.const))  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_k(pop.const))
+        times.append(time.perf_counter() - t0)
+    dt_best = min(times) / chain_k
+    print(f"# raw eval times (s, {chain_k} chained each): "
+          f"{[f'{t:.4f}' for t in times]}", file=sys.stderr)
+
+    node_evals = node_evals_per_evaluation(
+        population_size=population_size,
+        num_trees=gp.fset.num_trees,
+        max_nodes=max_nodes,
+        batch_size=batch_size,
+        num_save_points=ts.shape[0],
+        substeps=1,
+        method=evaluator.method,
+    )
+    rate = node_evals / dt_best
+    print(
+        json.dumps(
+            {
+                "metric": "node_evals_per_sec_per_chip_evolved" + metric_suffix,
+                "value": rate,
+                "unit": "node-evals/s",
+                "vs_baseline": rate / TARGET,
+            }
+        )
+    )
+    return rate
+
+
 CONFIGS = {
     # BASELINE.json workloads. Default = the pop-4096 ODE north-star.
     "default": {},
@@ -399,6 +489,8 @@ _METRIC_BY_CFG = {
     "gen_opt_deep": "generations_per_sec_pop4096_constopt_deep",
     "gen_shard": "generations_per_sec_pop4096_shard",
     "gen_deep": "generations_per_sec_pop4096_deep",
+    "evolved": "node_evals_per_sec_per_chip_evolved",
+    "evolved_deep": "node_evals_per_sec_per_chip_evolved_deep",
 }
 
 if __name__ == "__main__":
@@ -424,6 +516,12 @@ if __name__ == "__main__":
         main_generations(max_nodes=128, max_init_depth=7,
                          coefficient_optimisation=True,
                          metric_suffix="_deep")
+    elif cfg == "evolved":
+        # steady-state: eval throughput on a 20-generation evolved
+        # (size-bloated) population — the production population shape
+        main_evolved()
+    elif cfg == "evolved_deep":
+        main_evolved(max_nodes=128, max_init_depth=7, metric_suffix="_deep")
     elif cfg == "gen_deep":
         # end-to-end generations with deep trees: the N<=256 fused reproduce
         # (shift-rows surgery) + the windowed deep rollout, one launch each

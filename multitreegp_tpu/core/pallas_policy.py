@@ -122,7 +122,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                         n_params: int, t_steps: int, substeps: int, dt: float,
                         method: str, streamed: bool = False,
                         obs_noise: bool = False, process_noise: bool = False,
-                        deep: bool = False):
+                        deep: bool = False, stream_controls: bool = False):
     stages, final_scale = _RK_TABLES[method]
     n_stages = len(stages)
     if deep:
@@ -256,6 +256,27 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             base = n_params + (substeps * n_stages * n_obs if obs_noise else 0)
             return [par_scr[t % 2, base + substep * latent + i] for i in range(latent)]
 
+        def save_u(x_tiles, t_row):
+            """Controls at a SAVE point — the post-hoc replay's semantics
+            (reference feedforward :96-97 / dynamic :99-101): observation at
+            save time ``ts[t_row]`` (noise draw = the interval's
+            (substep 0, stage 0) slot, which IS the save-time draw; row T-1
+            carries it explicitly), REAL observations fed to the trees (the
+            dynamic readout zero-feeds only u)."""
+            # save-time draw = stage (0, 0) of the row's noise block
+            noise = noise_at(t_row, 0, 0) if obs_noise else None
+            x_stack = jnp.stack(x_tiles[:latent])
+            if noise is None:
+                y = env.obs_tiles(x_stack)
+            else:
+                y = env.obs_tiles_noisy(x_stack, jnp.stack(noise))
+            y_tiles = [y[i] for i in range(n_obs)]
+            if dynamic:
+                a = x_tiles[latent:]
+                data_r = y_tiles + a + [zero] * n_control + tgt
+                return trees_eval(state_size, n_control, data_r, 0)
+            return trees_eval(0, n_control, y_tiles + tgt, 0)
+
         def drift(x_tiles, params, noise):
             x_stack = jnp.stack(x_tiles[:latent])
             if noise is None:
@@ -287,16 +308,22 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             good = good & env.cond_alive(jnp.float32(0.0), jnp.stack(x_tiles[:latent]))
             return good.astype(jnp.float32)
 
+        # inbound param/noise rows first: save_u(x0, 0) below reads row 0's
+        # save-time noise slot
+        if streamed and t_steps > 1:
+            par_copy(0, 0).start()
+            par_copy(1, 1).start()
+            par_copy(0, 0).wait()
         x = [x0_ref[i, 0] for i in range(d_aug)]
         live_scr[...] = ok_mask(x)
         for i in range(d_aug):
             stage_ref[0, i] = x[i]
             x_scr[i] = x[i]
+        if stream_controls:
+            u0 = save_u(x, 0)
+            for j in range(n_control):
+                stage_ref[0, d_aug + j] = u0[j]
         copy_out(0, 0).start()
-        if streamed and t_steps > 1:
-            par_copy(0, 0).start()
-            par_copy(1, 1).start()
-            par_copy(0, 0).wait()
 
         h = dt / substeps
 
@@ -362,6 +389,12 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             for i in range(d_aug):
                 stage_ref[slot, i] = x[i]
                 x_scr[i] = x[i]
+            if stream_controls:
+                # save row t+1's controls: noise row t+1 is resident (waited
+                # at the top of this step)
+                u = save_u(x, t + 1)
+                for j in range(n_control):
+                    stage_ref[slot, d_aug + j] = u[j]
             copy_out(t + 1, slot).start()
             if streamed:
                 # row t+2 overwrites row t's slot once this step no longer
@@ -435,17 +468,24 @@ def rollout_policy_pallas(
     state_size: int = 0,
     obs_noise_rows: Array | None = None,
     process_noise_rows: Array | None = None,
-) -> Tuple[Array, Array]:
+    stream_controls: bool = False,
+) -> Tuple[Array, ...]:
     """Fused closed-loop rollout. trees batched ``(P, m)``; ``x0 (B, latent)``;
     ``targets (B, n_targets)``; params: pytree of per-trajectory scalars
     ``(B,)`` / python scalars / per-save-point series ``(B, T)``.
     ``obs_noise_rows`` (optional) carries the pre-scaled observation-noise
     draws ``obs_noise_at(key, tau) @ W`` for every stage time of
     :func:`stage_times`, laid out ``(T, B, substeps * n_stages * n_obs)``
-    with row ``t`` holding interval ``[ts[t], ts[t+1])`` (row ``T-1``
-    unused); the evaluators build it so the kernel reproduces the general
-    path's deterministic noise exactly. Returns ``(xas (T, P, B,
-    latent+state_size), alive (T, P, B))``; differentiable via
+    with row ``t`` holding interval ``[ts[t], ts[t+1])`` (row ``T-1``:
+    save-time slot only); the evaluators build it so the kernel reproduces
+    the general path's deterministic noise exactly. Returns ``(xas (T, P, B,
+    latent+state_size), alive (T, P, B))``; with ``stream_controls=True``
+    the kernel ALSO evaluates the post-hoc replay's controls at every save
+    point (save-time observation noise, real observations — reference
+    feedforward :96-97 / dynamic :99-101) and streams them out with the
+    states: returns ``(xas, us (T, P, B, n_control), alive)``, making the
+    separate replay interpreter pass unnecessary (measured 45% of the
+    policy evaluation wall-clock at pop 4096). Differentiable via
     unfused-recompute VJP is NOT wired here — the policy evaluators only use
     this path outside gradient contexts (constant optimisation routes through
     the general path)."""
@@ -543,10 +583,16 @@ def rollout_policy_pallas(
         par_src = jnp.stack(leaves_b, axis=-1) if leaves_b else jnp.zeros((b, 1))
         par_l = prep_b(par_src)
 
+    if stream_controls and t_steps <= 1:
+        # a single save point has no interval rows to carry the save-time
+        # noise draw; ValueError routes the evaluator to the general path
+        raise ValueError("stream_controls needs >= 2 save points")
+    n_control = m - state_size
+    out_rows = d_aug + (n_control if stream_controls else 0)
     kernel = _make_policy_kernel(
         env, fset, n, m, latent, state_size, n_targets, treedef,
         len(leaves), t_steps, substeps, dt, method, streamed, obs_noise,
-        process_noise, deep=deep,
+        process_noise, deep=deep, stream_controls=stream_controls,
     )
 
     tree_spec = pl.BlockSpec(
@@ -566,7 +612,7 @@ def rollout_policy_pallas(
     scratch = [
         pltpu.VMEM((d_aug, SUBLANES, LANE), jnp.float32),
         pltpu.VMEM((SUBLANES, LANE), jnp.float32),
-        pltpu.VMEM((2, d_aug, SUBLANES, LANE), jnp.float32),
+        pltpu.VMEM((2, out_rows, SUBLANES, LANE), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if streamed:
@@ -614,17 +660,21 @@ def rollout_policy_pallas(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_steps, d_aug, grid, SUBLANES, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((t_steps, out_rows, grid, SUBLANES, LANE), jnp.float32),
             jax.ShapeDtypeStruct((grid, SUBLANES, LANE), jnp.float32),
         ),
         scratch_shapes=scratch,
     )(*operands)
 
-    xs = xs.reshape(t_steps, d_aug, lp)[:, :, :lanes].reshape(t_steps, d_aug, p, b)
-    xs = jnp.moveaxis(xs, 1, -1)  # (T, P, B, d_aug)
+    xs = xs.reshape(t_steps, out_rows, lp)[:, :, :lanes].reshape(
+        t_steps, out_rows, p, b
+    )
+    xs = jnp.moveaxis(xs, 1, -1)  # (T, P, B, out_rows)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
     if inv_order is not None:  # undo the size-sort lane permutation
         xs = xs[:, inv_order]
         alive_last = alive_last[inv_order]
     alive_t = jnp.broadcast_to(alive_last[None], (t_steps, p, b))
+    if stream_controls:
+        return xs[..., :d_aug], xs[..., d_aug:], alive_t
     return xs, alive_t

@@ -683,6 +683,29 @@ def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
     return row_trips.astype(jnp.int32), start_rows
 
 
+def tile_start_rows(trees: TreeTensors, b: int, tile: int, grid: int,
+                    lp: int):
+    """``start_rows`` alone — the per-tile first used row ``n - max(size)``
+    for the SHALLOW skip branch's ``pl.when`` gate, which never reads
+    ``deep_tile_scalars``' per-row trip counts (so their arity gather +
+    cumsum over ``(P, m, N)`` would be pure waste on every shallow eval)."""
+    from .trees import EMPTY
+
+    p, m = trees.batch_shape
+    n = trees.max_nodes
+    sizes = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)  # (P, m)
+    if tile % b == 0:
+        cpt = tile // b  # candidates per lane tile
+        p_pad = grid * cpt
+        if p_pad > p:
+            sizes = jnp.pad(sizes, ((0, p_pad - p), (0, 0)))
+        size_max = sizes.reshape(grid, cpt, m).max(axis=1)
+    else:  # tiles straddle candidates: lane-level reduction (superset)
+        lane_cand = jnp.minimum(jnp.arange(lp, dtype=jnp.int32) // b, p - 1)
+        size_max = sizes[lane_cand].reshape(grid, tile, m).max(axis=1)
+    return (n - size_max).astype(jnp.int32)[..., None]
+
+
 def size_sort_candidates(trees: TreeTensors):
     """Sort candidates by total tree size (ascending); returns
     ``(sorted_trees, order, inv_order)``. Size-homogeneous lane tiles make
@@ -990,7 +1013,7 @@ def _fitness_impl(
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
         ]
     elif skip:
-        _, start_rows = deep_tile_scalars(trees, fset.slots, b, tile, grid, lp)
+        start_rows = tile_start_rows(trees, b, tile, grid, lp)
         in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec,
                     smem_scalar]
         operands = [ops_l, c2_l, const_l, x0_l, ys_l, start_rows]
@@ -1248,6 +1271,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 live_ref[...] = (
                     alive & (ok | ~active | (dt_c > span * 1.5e-3))
                 ).astype(jnp.float32)
+                # per-LANE attempted-step telemetry: lane activity is a
+                # prefix of the tile's iterations (a finished/dead lane never
+                # reactivates), so the per-tile max over lanes equals the
+                # tile's executed trip count, and the per-lane counts feed
+                # the stiffness-probe lane sort (VERDICT r2 #6)
+                steps_ref[0] = steps_ref[0] + active.astype(jnp.float32)
                 return 0
 
             # data-dependent early exit: once every lane of the tile has
@@ -1265,12 +1294,7 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 step(s, 0)
                 return s + 1
 
-            trips = jax.lax.while_loop(w_cond, w_body, 0)
-            # controller-effort telemetry: attempted (accepted + rejected)
-            # embedded steps this tile actually executed — the honest
-            # work count for the adaptive bench (the whole tile steps while
-            # any lane is active, so per-tile trips x tile lanes IS the work)
-            steps_ref[0] = steps_ref[0] + jnp.float32(trips)
+            jax.lax.while_loop(w_cond, w_body, 0)
             # lanes that never reached t1 ran out of steps -> dead (max_steps)
             reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
             live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
@@ -1324,14 +1348,35 @@ def rollout_sr_fitness_adaptive_pallas(
     tiles, semantics of ``integrators.integrate_adaptive`` (accept/reject
     masks, controller clamps, max-steps death). ``ts`` may be traced and
     non-uniform (streamed via SMEM). Differentiable via unfused
-    ``integrate_adaptive`` recompute."""
+    ``integrate_adaptive`` recompute.
+
+    Lane tiling: a tile steps while ANY of its lanes is active, so tile
+    composition sets the attempted-step waste. ``MTGP_ADAPTIVE_SORT=probe``
+    replaces the default size sort with a stiffness probe — the first two
+    save intervals are integrated once (~2/(T-1) of the work) and candidates
+    are re-sorted by their measured per-lane attempted steps, clustering
+    stiff candidates into the same tiles (VERDICT r2 #6). Bit-exact per
+    lane: results are inverse-permuted, lanes are independent."""
+    import os
+
     import numpy as np
+
+    probe = os.environ.get("MTGP_ADAPTIVE_SORT") == "probe"
 
     @jax.custom_vjp
     def run(ops, c1, c2, const, x0):
+        trees = TreeTensors(ops, c1, c2, const)
+        order = None
+        if probe and ts.shape[0] > 2:
+            k = 2  # probe horizon: first two save intervals
+            _, _, (_tile_steps, lane_steps) = _adaptive_fitness_impl(
+                trees, x0, ts[: k + 1], ys[:, : k + 1], fset, rtol, atol,
+                max_steps, method, safety, return_steps="lane",
+            )
+            order = jnp.argsort(jnp.sum(lane_steps, axis=1))
         return _adaptive_fitness_impl(
-            TreeTensors(ops, c1, c2, const), x0, ts, ys, fset, rtol, atol,
-            max_steps, method, safety,
+            trees, x0, ts, ys, fset, rtol, atol,
+            max_steps, method, safety, order=order,
         )
 
     def fwd(ops, c1, c2, const, x0):
@@ -1377,16 +1422,32 @@ def adaptive_solver_stats(trees, x0, ts, ys, fset, rtol=1e-4, atol=1e-6,
     work the chip actually performed. Mirrors ``diffrax``'s solver stats
     (``num_steps``), which the reference discards; the bench uses it to
     count adaptive node-evals honestly instead of assuming the 4-step
-    minimum. Not differentiable (use ``rollout_sr_fitness_adaptive_pallas``
-    for gradients)."""
-    return _adaptive_fitness_impl(
+    minimum. Honors ``MTGP_ADAPTIVE_SORT=probe`` (same lane ordering as the
+    fused fitness path, so the counted work matches the timed work — probe
+    intervals included). Not differentiable (use
+    ``rollout_sr_fitness_adaptive_pallas`` for gradients)."""
+    import os
+
+    order = None
+    extra_steps = 0.0
+    if os.environ.get("MTGP_ADAPTIVE_SORT") == "probe" and ts.shape[0] > 2:
+        k = 2
+        _, _, (probe_tile_steps, lane_steps) = _adaptive_fitness_impl(
+            trees, x0, ts[: k + 1], ys[:, : k + 1], fset, rtol, atol,
+            max_steps, method, safety, return_steps="lane",
+        )
+        extra_steps = jnp.sum(probe_tile_steps)
+        order = jnp.argsort(jnp.sum(lane_steps, axis=1))
+    mse, alive, steps = _adaptive_fitness_impl(
         trees, x0, ts, ys, fset, rtol, atol, max_steps, method, safety,
-        return_steps=True,
+        return_steps=True, order=order,
     )
+    # the probe's own attempted steps are real chip work: fold them in
+    return mse, alive, steps + extra_steps / steps.shape[0]
 
 
 def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
-                           method, safety, return_steps=False):
+                           method, safety, return_steps=False, order=None):
     p, b, d = x0.shape
     m = trees.batch_shape[-1]
     n = trees.max_nodes
@@ -1395,7 +1456,13 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     sub = SUBLANES_DEEP
     tile = sub * LANE
 
-    trees, order, inv_order = size_sort_candidates(trees)
+    if order is None:
+        trees, order, inv_order = size_sort_candidates(trees)
+    else:
+        # caller-supplied lane order (stiffness probe): cluster candidates
+        # by expected controller effort so a tile's lanes finish together
+        inv_order = jnp.argsort(order)
+        trees = trees[order]
     x0 = x0[order]
 
     (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
@@ -1460,8 +1527,15 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
     mse = mse[inv_order]
     alive_last = alive_last[inv_order]
+    if return_steps == "lane":
+        # (per-tile executed trips, per-lane attempted counts in the
+        # CALLER's candidate order) — tile counts feed honest work
+        # accounting, lane counts are the stiffness-probe sort key
+        lane_steps = steps.reshape(lp)[:lanes].reshape(p, b)[inv_order]
+        return mse, alive_last, (steps.max(axis=(1, 2)), lane_steps)
     if return_steps:
-        # per-tile attempted embedded steps (same value on every lane of a
-        # tile): the honest controller-effort count for benchmarking
-        return mse, alive_last, steps[:, 0, 0]
+        # per-tile attempted embedded steps (max over lanes == the tile's
+        # executed trip count): the honest controller-effort count for
+        # benchmarking
+        return mse, alive_last, steps.max(axis=(1, 2))
     return mse, alive_last

@@ -82,7 +82,10 @@ class DynamicPolicyEvaluator:
 
     def _rollout(self, population: TreeTensors, data: Tuple):
         """Dispatch: fused whole-rollout Pallas kernel when the env/config
-        qualifies (see pallas_policy), else the general scan path."""
+        qualifies (see pallas_policy), else the general scan path. Returns
+        ``(xas, alive, us_or_None)`` — the fused kernel streams the replay's
+        save-grid readout controls (real observations, zero-fed u) so
+        callers skip the separate replay pass; ``us=None`` means replay."""
         env = self.env
         n_vars = env.n_obs + self.state_size + env.n_control + env.n_targets
         if (
@@ -97,7 +100,8 @@ class DynamicPolicyEvaluator:
                     return self._rollout_fused(population, data)
                 except ValueError:
                     pass
-        return self._rollout_general(population, data)
+        xas, alive = self._rollout_general(population, data)
+        return xas, alive, None
 
     def _rollout_fused(self, population: TreeTensors, data: Tuple):
         import numpy as np
@@ -131,6 +135,7 @@ class DynamicPolicyEvaluator:
                 substeps=self.substeps, method=method,
                 state_size=self.state_size,
                 obs_noise_rows=noise_rows, process_noise_rows=kick_rows,
+                stream_controls=True,
             )
 
         def fwd(ops, c1, c2, const):
@@ -138,19 +143,24 @@ class DynamicPolicyEvaluator:
 
         def bwd(res, g):
             ops, c1, c2, const = res
-            g_xs, _g_alive = g
+            g_xs, g_us, _g_alive = g
 
             def f(c):
-                xas, _ = self._rollout_general(TreeTensors(ops, c1, c2, c), data)
-                return xas
+                pop_c = TreeTensors(ops, c1, c2, c)
+                xas, _ = self._rollout_general(pop_c, data)
+                _xs, _ys, us, _acts = self._replay(pop_c, xas, data)
+                return xas, us
 
             _, vjp = jax.vjp(f, const)
-            (dconst,) = vjp(g_xs)
+            (dconst,) = vjp((g_xs, g_us))
             zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
             return zero(ops), zero(c1), zero(c2), dconst
 
         run.defvjp(fwd, bwd)
-        return run(population.ops, population.c1, population.c2, population.const)
+        xas, us, alive = run(
+            population.ops, population.c1, population.c2, population.const
+        )
+        return xas, alive, us
 
     def _rollout_general(self, population: TreeTensors, data: Tuple):
         x0, ts, targets, _pk, obs_keys, params = data
@@ -275,8 +285,11 @@ class DynamicPolicyEvaluator:
         """population batch (P, state_size + n_control); returns (P,)."""
         _x0, ts, targets, _pk, _ok, params = data
         env = self.env
-        xas, alive = self._rollout(population, data)
-        xs, ys, us, _acts = self._replay(population, xas, data)
+        xas, alive, us = self._rollout(population, data)
+        if us is None:  # general path: post-hoc replay (reference :99-101)
+            xs, _ys, us, _acts = self._replay(population, xas, data)
+        else:
+            xs = xas[..., : env.latent_size]
 
         xs_pb = jnp.transpose(xs, (1, 2, 0, 3))
         us_pb = jnp.transpose(us, (1, 2, 0, 3))
@@ -295,8 +308,8 @@ class DynamicPolicyEvaluator:
         pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
         _x0, ts, targets, _pk, _ok, params = data
         env = self.env
-        xas, alive = self._rollout(pop, data)
-        xs, ys, us, acts = self._replay(pop, xas, data)
+        xas, alive, _us = self._rollout(pop, data)
+        xs, ys, us, acts = self._replay(pop, xas, data)  # inspection wants ys
         xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
         us_b = jnp.transpose(us[:, 0], (1, 0, 2))
         cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_b, us_b, targets, ts, params)

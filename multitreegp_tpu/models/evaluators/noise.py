@@ -53,7 +53,12 @@ def make_obs_noise_rows(
     nz = jax.vmap(one_tau)(taus.reshape(-1))  # (K, B, n_obs)
     nz = nz.reshape(taus.shape + (b, env.n_obs))
     nz = jnp.moveaxis(nz, 3, 1).reshape(ts.shape[0] - 1, b, -1)
-    return jnp.concatenate([nz, jnp.zeros_like(nz[:1])], axis=0)
+    # row T-1 carries ONLY the save-time draw at ts[-1] in its (substep 0,
+    # stage 0) slot — the in-kernel control replay observes the final save
+    # point with it; no solver stage ever reads the rest of the row
+    tail = jnp.zeros_like(nz[:1])
+    tail = tail.at[0, :, : env.n_obs].set(one_tau(ts[-1]))
+    return jnp.concatenate([nz, tail], axis=0)
 
 
 def make_process_noise_rows(

@@ -75,7 +75,12 @@ class StaticPolicyEvaluator:
 
     def _rollout(self, population: TreeTensors, data: Tuple):
         """Dispatch: fused whole-rollout Pallas kernel when the env/config
-        qualifies (see pallas_policy), else the general scan path."""
+        qualifies (see pallas_policy), else the general scan path.
+
+        Returns ``(xs, alive, us_or_None)`` — the fused kernel streams the
+        replay's save-grid controls alongside the states (``us``), so
+        callers skip the separate replay interpreter pass; the general path
+        returns ``us=None`` and the caller replays."""
         env = self.env
         if (
             self.interpreter in ("auto", "pallas")
@@ -89,7 +94,8 @@ class StaticPolicyEvaluator:
                     return self._rollout_fused(population, data)
                 except ValueError:
                     pass  # traced time grid etc. -> general path
-        return self._rollout_general(population, data)
+        xs, alive = self._rollout_general(population, data)
+        return xs, alive, None
 
     def _rollout_fused(self, population: TreeTensors, data: Tuple):
         import numpy as np
@@ -121,6 +127,7 @@ class StaticPolicyEvaluator:
                 t, x0, ts, targets, params, env, fset,
                 substeps=self.substeps, method=method, state_size=0,
                 obs_noise_rows=noise_rows, process_noise_rows=kick_rows,
+                stream_controls=True,
             )
 
         def fwd(ops, c1, c2, const):
@@ -128,19 +135,24 @@ class StaticPolicyEvaluator:
 
         def bwd(res, g):
             ops, c1, c2, const = res
-            g_xs, _g_alive = g
+            g_xs, g_us, _g_alive = g
 
             def f(c):
-                xs, _ = self._rollout_general(TreeTensors(ops, c1, c2, c), data)
-                return xs
+                pop_c = TreeTensors(ops, c1, c2, c)
+                xs, _ = self._rollout_general(pop_c, data)
+                _ys, us = self._replay(pop_c, xs, data)
+                return xs, us
 
             _, vjp = jax.vjp(f, const)
-            (dconst,) = vjp(g_xs)
+            (dconst,) = vjp((g_xs, g_us))
             zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
             return zero(ops), zero(c1), zero(c2), dconst
 
         run.defvjp(fwd, bwd)
-        return run(population.ops, population.c1, population.c2, population.const)
+        xs, us, alive = run(
+            population.ops, population.c1, population.c2, population.const
+        )
+        return xs, alive, us
 
     def _rollout_general(self, population: TreeTensors, data: Tuple):
         x0, ts, targets, _pkeys, obs_keys, params = data
@@ -233,8 +245,9 @@ class StaticPolicyEvaluator:
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population batch (P, m) with m == env.n_control; returns (P,)."""
         _x0, ts, targets, _pk, _ok, params = data
-        xs, alive = self._rollout(population, data)
-        ys, us = self._replay(population, xs, data)
+        xs, alive, us = self._rollout(population, data)
+        if us is None:  # general path: post-hoc replay (reference :96-97)
+            _ys, us = self._replay(population, xs, data)
         env = self.env
 
         # env cost per (P, B) trajectory — xs to (P, B, T, ...)
@@ -256,8 +269,8 @@ class StaticPolicyEvaluator:
         the reference's inspection API (:53-101)."""
         pop = jax.tree_util.tree_map(lambda x: x[None], candidate)
         _x0, ts, targets, _pk, _ok, params = data
-        xs, alive = self._rollout(pop, data)
-        ys, us = self._replay(pop, xs, data)
+        xs, alive, _us = self._rollout(pop, data)
+        ys, us = self._replay(pop, xs, data)  # inspection wants ys too
         env = self.env
         xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
         us_b = jnp.transpose(us[:, 0], (1, 0, 2))

@@ -311,3 +311,102 @@ def test_adaptive_fused_through_evaluator_interpret():
         fit_f = np.asarray(ev_f.evaluate_population(pop, data))
     fit_l = np.asarray(ev_l.evaluate_population(pop, data))
     np.testing.assert_allclose(fit_f, fit_l, rtol=1e-4)
+
+
+def test_fitness_kernel_skip_m1_matches_no_skip(monkeypatch):
+    """ADVICE r2: the m==1 non-rolled shallow SKIP branch (pl.when
+    padding-prefix gating) must be bit-exact vs the plain unrolled ladder
+    (MTGP_SR_NO_SKIP=1) — both in interpret mode, on a 1-D environment so
+    the per-tree roll path is NOT taken (roll_trees = m >= 2)."""
+    from multitreegp_tpu.core.pallas_rollout import rollout_sr_fitness_pallas
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments.base import SREnvironmentBase
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    class Decay1D(SREnvironmentBase):
+        def __init__(self):
+            super().__init__(0.0, 0.0, n_var=1, n_obs=1)
+
+        def sample_init_states(self, batch_size, key):
+            return jr.uniform(key, (batch_size, 1), minval=0.5, maxval=1.5)
+
+        def drift(self, t, x):
+            return -0.5 * x
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)],
+        [["x0"]], [1],
+    )
+    env = Decay1D()
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(1), 8)
+    assert pop.batch_shape[-1] == 1  # m == 1: non-rolled tree handling
+    p, b, d = 8, 4, 1
+    x0 = jnp.broadcast_to(x0s[None], (p, b, d))
+
+    monkeypatch.delenv("MTGP_SR_NO_SKIP", raising=False)
+    with pltpu.force_tpu_interpret_mode():
+        mse_skip, alive_skip = rollout_sr_fitness_pallas(
+            pop, x0, ts, ys, fset, substeps=2
+        )
+    monkeypatch.setenv("MTGP_SR_NO_SKIP", "1")
+    with pltpu.force_tpu_interpret_mode():
+        mse_ref, alive_ref = rollout_sr_fitness_pallas(
+            pop, x0, ts, ys, fset, substeps=2
+        )
+    np.testing.assert_array_equal(np.asarray(alive_skip), np.asarray(alive_ref))
+    np.testing.assert_array_equal(np.asarray(mse_skip), np.asarray(mse_ref))
+
+
+def test_adaptive_probe_sort_exact(monkeypatch):
+    """MTGP_ADAPTIVE_SORT=probe re-tiles lanes by measured controller effort
+    (VERDICT r2 #6); per-lane results are order-independent, so fitness and
+    liveness must be bit-exact vs the default size sort."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.8, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(3), 4)
+    p, b, d = 4, 2, 2
+    x0 = jnp.broadcast_to(x0s[None], (p, b, d))
+
+    monkeypatch.delenv("MTGP_ADAPTIVE_SORT", raising=False)
+    with pltpu.force_tpu_interpret_mode():
+        mse, alive = prl.rollout_sr_fitness_adaptive_pallas(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+            method="dopri5",
+        )
+        _, _, steps = prl.adaptive_solver_stats(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+            method="dopri5",
+        )
+    monkeypatch.setenv("MTGP_ADAPTIVE_SORT", "probe")
+    with pltpu.force_tpu_interpret_mode():
+        mse_p, alive_p = prl.rollout_sr_fitness_adaptive_pallas(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+            method="dopri5",
+        )
+        _, _, steps_p = prl.adaptive_solver_stats(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+            method="dopri5",
+        )
+    np.testing.assert_array_equal(np.asarray(mse_p), np.asarray(mse))
+    np.testing.assert_array_equal(np.asarray(alive_p), np.asarray(alive))
+    # probe accounting includes its own attempted steps: never free work
+    intervals = ts.shape[0] - 1
+    assert float(np.sum(np.asarray(steps_p))) >= intervals

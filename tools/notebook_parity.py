@@ -41,11 +41,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if (__name__ != "__main__" or len(sys.argv) < 4 or sys.argv[3] != "ours"
+        or os.environ.get("MTGP_NBP_CPU") == "1"):
+    # reference legs + report run on CPU; OUR legs keep the default backend
+    # (the TPU when the tunnel is up) — the whole point of the stack — which
+    # also frees this 1-core box for the reference's host loop
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+
+
+def _on_cpu(fn):
+    """Run data generation on the host CPU regardless of backend so BOTH
+    stacks fit bit-identical data (fp ordering differs across backends)."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return jax.tree_util.tree_map(np.asarray, fn())
 
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "results_r3")
 
@@ -148,13 +160,15 @@ def run_sr_ours(seed: int) -> None:
     from multitreegp_tpu import GeneticProgramming
     from multitreegp_tpu.models.evaluators import SREvaluator
 
-    data = sr_data()
+    data = _on_cpu(sr_data)
     gp = GeneticProgramming(
         num_generations=SR_GENS,
         population_size=SR_POP,
+        # interpreter="auto": the fused adaptive Pallas kernel on TPU
+        # (the production path), gather on CPU
         fitness_function=SREvaluator(
             method="adaptive", adaptive_method="dopri5",
-            rtol=1e-6, atol=1e-6, substeps=32, interpreter="ladder",
+            rtol=1e-6, atol=1e-6, substeps=32,
         ),
         operator_list=sr_operators(),
         variable_list=[["x0", "x1"]],
@@ -256,14 +270,13 @@ def run_policy_ours(seed: int, dynamic: bool = False) -> None:
     from multitreegp_tpu.models.environments import Acrobot
 
     env = Acrobot(0.05, 0.1)
-    data = policy_data()
+    data = _on_cpu(policy_data)
     substeps = int(round(0.2 / POL_DT0))
     if dynamic:
         from multitreegp_tpu.models.evaluators import DynamicPolicyEvaluator
 
         fitness_function = DynamicPolicyEvaluator(
             env, state_size=2, method="euler", substeps=substeps,
-            interpreter="ladder",
         )
         variable_list = [["y1", "y2", "y3", "y4", "a1", "a2", "u"],
                          ["a1", "a2"]]
@@ -272,7 +285,7 @@ def run_policy_ours(seed: int, dynamic: bool = False) -> None:
         from multitreegp_tpu.models.evaluators import StaticPolicyEvaluator
 
         fitness_function = StaticPolicyEvaluator(
-            env, method="euler", substeps=substeps, interpreter="ladder",
+            env, method="euler", substeps=substeps,
         )
         variable_list = [["y1", "y2", "y3", "y4"]]
         layer_sizes = [env.n_control]

@@ -69,15 +69,18 @@ def main():
     ev = StaticPolicyEvaluator(env, fset, substeps=4)
 
     # one rollout kept on device as the replay/cost input
-    xs0, alive0 = jax.jit(lambda p: ev._rollout(p, data))(pop)
+    xs0, alive0, us_stream = jax.jit(lambda p: ev._rollout(p, data))(pop)
     xs0 = jax.block_until_ready(xs0)
     print(f"xs: {xs0.shape} {xs0.dtype} "
-          f"({xs0.size * 4 / 1e6:.0f} MB)", flush=True)
+          f"({xs0.size * 4 / 1e6:.0f} MB); streamed us: "
+          f"{None if us_stream is None else us_stream.shape}", flush=True)
 
-    # A. rollout only (chained: const bump keeps iterations dependent)
+    # A. rollout only (chained: const bump keeps iterations dependent) —
+    # includes the in-kernel control replay when us_stream is not None
     def roll_chain(const):
         def step(c, _):
-            xs, alive = ev._rollout(pop._replace(const=c), data)
+            out = ev._rollout(pop._replace(const=c), data)
+            xs = out[0]
             return c + 1e-30 * jnp.sum(xs[-1]), jnp.sum(xs[-1])
         return jnp.sum(jax.lax.scan(step, const, None, length=CHAIN)[1])
 

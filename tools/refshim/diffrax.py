@@ -208,10 +208,33 @@ def diffeqsolve(
         alive = alive & (event.cond_fn(jnp.float32(ts_np[0]), y0, args) > 0)
     y = y0
     inf = jnp.full_like(y0, jnp.inf)
+    ns = [
+        max(1, int(round((ts_np[i + 1] - ts_np[i]) / dt0)))
+        for i in range(len(ts_np) - 1)
+    ]
+    if len(set(ns)) == 1 and len(ns) > 1:
+        # uniform save grid (every notebook workload): scan over intervals —
+        # identical arithmetic to the Python loop below, but the XLA program
+        # holds ONE interval instead of T-1 copies (T=250 policy horizons
+        # made pop-500 reference compiles run for hours on one CPU core)
+        y0_row = jnp.where(alive, y0, inf)
+        ta_arr = jnp.asarray(ts_np[:-1], jnp.float32)
+        tb_arr = jnp.asarray(ts_np[1:], jnp.float32)
+
+        def scan_body(carry, tab):
+            y, alive = carry
+            y, alive = interval(y, alive, tab[0], tab[1], ns[0])
+            return (y, alive), jnp.where(alive, y, inf)
+
+        (y, alive), ys_t = jax.lax.scan(
+            scan_body, (y, alive), (ta_arr, tb_arr)
+        )
+        return Solution(
+            ts=jnp.asarray(ts), ys=jnp.concatenate([y0_row[None], ys_t])
+        )
     ys = [jnp.where(alive, y0, inf)]
     for i in range(len(ts_np) - 1):
-        n = max(1, int(round((ts_np[i + 1] - ts_np[i]) / dt0)))
-        y, alive = interval(y, alive, ts_np[i], ts_np[i + 1], n)
+        y, alive = interval(y, alive, ts_np[i], ts_np[i + 1], ns[i])
         ys.append(jnp.where(alive, y, inf))
     return Solution(ts=jnp.asarray(ts), ys=jnp.stack(ys))
 
@@ -286,10 +309,21 @@ def _solve_adaptive(terms, t0, t1, dt0, y0, args, saveat, max_steps, ctrl,
     h = jnp.float32(dt0)
     steps = jnp.int32(0)
     inf = jnp.full_like(y0, jnp.inf)
-    ys = [jnp.where(alive, y0, inf)]
-    for i in range(len(ts_np) - 1):
-        y, alive, steps, h = interval(
-            y, alive, steps, ts_np[i], ts_np[i + 1], h
-        )
-        ys.append(jnp.where(alive, y, inf))
-    return Solution(ts=jnp.asarray(ts), ys=jnp.stack(ys))
+    y0_row = jnp.where(alive, y0, inf)
+    # scan over save intervals (identical arithmetic to the former Python
+    # loop — same interval body, interval bounds as traced scalars): a
+    # notebook-scale grid (100 save points) Python-unrolled to 99 sequential
+    # while_loops, which made XLA CPU compiles of pop-1000 reference
+    # evaluations run for hours
+    ta_arr = jnp.asarray(ts_np[:-1], jnp.float32)
+    tb_arr = jnp.asarray(ts_np[1:], jnp.float32)
+
+    def scan_body(carry, tab):
+        y, alive, steps, h = carry
+        y, alive, steps, h = interval(y, alive, steps, tab[0], tab[1], h)
+        return (y, alive, steps, h), jnp.where(alive, y, inf)
+
+    (y, alive, steps, h), ys_t = jax.lax.scan(
+        scan_body, (y, alive, steps, h), (ta_arr, tb_arr)
+    )
+    return Solution(ts=jnp.asarray(ts), ys=jnp.concatenate([y0_row[None], ys_t]))
