@@ -41,16 +41,71 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-if (__name__ != "__main__" or len(sys.argv) < 4 or sys.argv[3] != "ours"
-        or os.environ.get("MTGP_NBP_CPU") == "1"):
+if ((__name__ != "__main__" or len(sys.argv) < 4 or sys.argv[3] != "ours"
+        or os.environ.get("MTGP_NBP_CPU") == "1")
+        and os.environ.get("MTGP_NBP_TPU_REF") != "1"):
     # reference legs + report run on CPU; OUR legs keep the default backend
     # (the TPU when the tunnel is up) — the whole point of the stack — which
-    # also frees this 1-core box for the reference's host loop
+    # also frees this 1-core box for the reference's host loop.
+    # MTGP_NBP_TPU_REF=1 lets a REFERENCE leg use the TPU too (the refshim is
+    # pure jax): the reference's pop-1000 adaptive eval is ~hours/generation
+    # on this 1-core host — executing its loop on the accelerator is the only
+    # way to complete 100 generations in-round; data stays CPU-generated and
+    # bit-identical (_on_cpu), and fp differences are irrelevant to the
+    # run-level statistical criterion.
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+
+
+def _patch_reference_compat():
+    """jax 0.9 compat shims for the reference (copy of
+    golden_parity.patch_shard_map — importing that module would force the
+    CPU platform at import time, and the TPU-ref leg must keep the default
+    backend): shard_map's check_rep rename and int mesh shapes."""
+    import jax.experimental.shard_map as sm
+
+    orig = sm.shard_map
+
+    def patched(*args, **kwargs):
+        kwargs.pop("check_rep", None)
+        try:
+            return orig(*args, **kwargs, check_vma=False)
+        except TypeError:
+            return orig(*args, **kwargs)
+
+    sm.shard_map = patched
+
+    from jax.experimental import mesh_utils as mu
+
+    orig_mesh = mu.create_device_mesh
+
+    def patched_mesh(mesh_shape, *args, **kwargs):
+        if isinstance(mesh_shape, int):
+            mesh_shape = (mesh_shape,)
+        return orig_mesh(mesh_shape, *args, **kwargs)
+
+    mu.create_device_mesh = patched_mesh
+
+
+def _patch_ref_evolve(ref_gp, population_size):
+    """jax >= 0.7 compat: rebuild the reference's jitted evolve partial with
+    a hashable python-int num_trees (copy of golden_run's helper — importing
+    golden_run would force the CPU platform via golden_parity)."""
+    from functools import partial as _partial
+
+    from MultiTreeGP.genetic_operators.reproduction import evolve_population
+
+    ref_gp.jit_evolve_population = jax.jit(_partial(
+        evolve_population,
+        reproduction_functions=ref_gp.reproduction_functions,
+        elite_size=ref_gp.elite_size,
+        tournament_size=ref_gp.tournament_size,
+        num_trees=int(ref_gp.num_trees),
+        population_size=population_size,
+    ))
 
 
 def _on_cpu(fn):
@@ -124,15 +179,11 @@ def sr_data():
 def run_sr_ref(seed: int) -> None:
     import diffrax
 
-    from golden_parity import patch_shard_map
-
-    patch_shard_map()
-    from golden_run import _patch_ref_evolve
-
+    _patch_reference_compat()
     from MultiTreeGP.evaluators.SR_evaluator import Evaluator as RefEvaluator
     from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
 
-    data = sr_data()
+    data = _on_cpu(sr_data)
     ref_gp = RefGP(
         num_generations=SR_GENS,
         population_size=SR_POP,
@@ -217,18 +268,14 @@ def policy_data():
 
 
 def run_policy_ref(seed: int, dynamic: bool = False) -> None:
-    from golden_parity import patch_shard_map
-
-    patch_shard_map()
-    from golden_run import _patch_ref_evolve
-
+    _patch_reference_compat()
     from MultiTreeGP.environments.control_environments.acrobot import (
         Acrobot as RefAcrobot,
     )
     from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
 
     env = RefAcrobot(0.05, 0.1)
-    data = policy_data()
+    data = _on_cpu(policy_data)
     if dynamic:
         from MultiTreeGP.evaluators.dynamic_evaluate import (
             Evaluator as RefEval,
@@ -315,7 +362,7 @@ def _loop_ref(ref_gp, eval_fn, seed, gens, islands, pop, out, size_parsinomy):
     best: list[float] = []
     for g in range(gens):
         t0 = time.time()
-        flat = pops.reshape(-1, *pops.shape[2:])
+        flat = np.asarray(pops.reshape(-1, *pops.shape[2:]))
         fitness = np.asarray(eval_fn(flat))
         if size_parsinomy:
             sizes = np.sum(np.asarray(flat[..., 0]) != 0, axis=(1, 2))
