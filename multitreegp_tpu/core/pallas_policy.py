@@ -324,6 +324,10 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
             for j in range(n_control):
                 stage_ref[0, d_aug + j] = u0[j]
         copy_out(0, 0).start()
+        # alive output = COUNT of alive save rows (alive is monotone, so the
+        # host reconstructs the per-save mask as ``t < count``; the reference
+        # needs per-save liveness to inf-fill post-event saves like diffrax)
+        alive_ref[0] = live_scr[...]
 
         h = dt / substeps
 
@@ -403,6 +407,7 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
                 def _():
                     par_copy(t + 2, t % 2).start()
             live_scr[...] = alive
+            alive_ref[0] = alive_ref[0] + alive  # save row t+1's liveness
             return 0
 
         jax.lax.fori_loop(0, t_steps - 1, save_step, 0, unroll=False)
@@ -410,7 +415,6 @@ def _make_policy_kernel(env, fset: FunctionSet, n: int, m: int, latent: int,
         copy_out(t_steps - 1, (t_steps - 1) % 2).wait()
         if t_steps >= 2:
             copy_out(t_steps - 2, (t_steps - 2) % 2).wait()
-        alive_ref[0] = live_scr[...]
 
     return kernel
 
@@ -670,11 +674,15 @@ def rollout_policy_pallas(
         t_steps, out_rows, p, b
     )
     xs = jnp.moveaxis(xs, 1, -1)  # (T, P, B, out_rows)
-    alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+    alive_cnt = alive.reshape(lp)[:lanes].reshape(p, b)
     if inv_order is not None:  # undo the size-sort lane permutation
         xs = xs[:, inv_order]
-        alive_last = alive_last[inv_order]
-    alive_t = jnp.broadcast_to(alive_last[None], (t_steps, p, b))
+        alive_cnt = alive_cnt[inv_order]
+    # the kernel emits the COUNT of alive save rows; liveness is monotone, so
+    # save t is alive iff t < count — exactly the general path's per-save mask
+    alive_t = (
+        jnp.arange(t_steps, dtype=jnp.float32)[:, None, None] < alive_cnt[None]
+    )
     if stream_controls:
         return xs[..., :d_aug], xs[..., d_aug:], alive_t
     return xs, alive_t

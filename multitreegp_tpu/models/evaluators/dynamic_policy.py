@@ -293,13 +293,17 @@ class DynamicPolicyEvaluator:
 
         xs_pb = jnp.transpose(xs, (1, 2, 0, 3))
         us_pb = jnp.transpose(us, (1, 2, 0, 3))
+        # reference semantics (dynamic_evaluate + diffrax Event, throw=False):
+        # post-halt saves are inf; the env cost decides what divergence costs
+        # (see static_policy.evaluate_population)
+        alive_pb = jnp.transpose(alive, (1, 2, 0))  # (P, B, T)
+        xs_pb = jnp.where(alive_pb[..., None], xs_pb, jnp.inf)
         cost = jax.vmap(
             jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0)),
             in_axes=(0, 0, None, None, None),
         )(xs_pb, us_pb, targets, ts, params)  # (P, B)
 
-        bad = ~alive[-1] | ~jnp.isfinite(cost)
-        per_traj = jnp.where(bad, self.max_fitness, cost)
+        per_traj = jnp.where(jnp.isfinite(cost), cost, self.max_fitness)
         fitness = jnp.mean(per_traj, axis=-1)
         return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
 
@@ -312,8 +316,10 @@ class DynamicPolicyEvaluator:
         xs, ys, us, acts = self._replay(pop, xas, data)  # inspection wants ys
         xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
         us_b = jnp.transpose(us[:, 0], (1, 0, 2))
-        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_b, us_b, targets, ts, params)
-        cost = jnp.where(~alive[-1, 0] | ~jnp.isfinite(cost), self.max_fitness, cost)
+        alive_b = jnp.transpose(alive[:, 0], (1, 0))  # (B, T)
+        xs_dead = jnp.where(alive_b[..., None], xs_b, jnp.inf)
+        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_dead, us_b, targets, ts, params)
+        cost = jnp.where(jnp.isfinite(cost), cost, self.max_fitness)
         return (
             xs_b,
             jnp.transpose(ys[:, 0], (1, 0, 2)),

@@ -253,14 +253,20 @@ class StaticPolicyEvaluator:
         # env cost per (P, B) trajectory — xs to (P, B, T, ...)
         xs_pb = jnp.transpose(xs, (1, 2, 0, 3))
         us_pb = jnp.transpose(us, (1, 2, 0, 3))
+        # reference semantics (feedforward_evaluate.py:90-99 + diffrax Event
+        # with throw=False): save rows after the halt are ``inf`` and the ENV
+        # COST decides what divergence is worth — e.g. acrobot zeroes costs
+        # after first success, so a policy that swings up and THEN spins out
+        # keeps its success fitness. Only a cost that comes back non-finite
+        # maps to max_fitness.
+        alive_pb = jnp.transpose(alive, (1, 2, 0))  # (P, B, T)
+        xs_pb = jnp.where(alive_pb[..., None], xs_pb, jnp.inf)
         cost = jax.vmap(  # over P
             jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0)),
             in_axes=(0, 0, None, None, None),
         )(xs_pb, us_pb, targets, ts, params)  # (P, B)
 
-        diverged = ~alive[-1]
-        bad = diverged | ~jnp.isfinite(cost)
-        per_traj = jnp.where(bad, self.max_fitness, cost)
+        per_traj = jnp.where(jnp.isfinite(cost), cost, self.max_fitness)
         fitness = jnp.mean(per_traj, axis=-1)
         return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
 
@@ -274,6 +280,8 @@ class StaticPolicyEvaluator:
         env = self.env
         xs_b = jnp.transpose(xs[:, 0], (1, 0, 2))
         us_b = jnp.transpose(us[:, 0], (1, 0, 2))
-        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_b, us_b, targets, ts, params)
-        cost = jnp.where(~alive[-1, 0] | ~jnp.isfinite(cost), self.max_fitness, cost)
+        alive_b = jnp.transpose(alive[:, 0], (1, 0))  # (B, T)
+        xs_dead = jnp.where(alive_b[..., None], xs_b, jnp.inf)
+        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_dead, us_b, targets, ts, params)
+        cost = jnp.where(jnp.isfinite(cost), cost, self.max_fitness)
         return xs_b, jnp.transpose(ys[:, 0], (1, 0, 2)), us_b, cost

@@ -46,6 +46,18 @@ def test_golden_dynamic_parity_small(tmp_path):
     )
 
 
+def test_golden_acrobot_diverging_horizon(tmp_path):
+    # pins the succeed-then-die fitness semantics (diffrax inf-fill + acrobot
+    # post-success cost zeroing) that the notebook-scale runs depend on
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+
+    golden_parity.main_acrobot(
+        population_size=200, batch_size=4, horizon=20.0,
+        report_path=str(tmp_path / "report.md"),
+    )
+
+
 def test_golden_adaptive_parity_small(tmp_path):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import golden_parity

@@ -294,6 +294,112 @@ def main_policy(population_size: int = 100, batch_size: int = 4,
     print("POLICY GOLDEN PARITY OK")
 
 
+def main_acrobot(population_size: int = 100, batch_size: int = 4,
+                 horizon: float = 20.0, save_dt: float = 0.2,
+                 dt0: float = 0.05, report_path: str | None = None):
+    """Acrobot candidate parity at a DIVERGING horizon — the succeed-then-die
+    class.
+
+    Aggressive swing-up policies routinely reach the success threshold and
+    then blow past the velocity-bound event (reference ``acrobot.py:86-87``).
+    diffrax fills post-event saves with inf and the acrobot cost ZEROES all
+    costs after first success (``acrobot.py:79-84``) — so those candidates
+    keep their success fitness. A blanket "diverged -> max_fitness" rule
+    (our r1/r2 semantics) mis-scores exactly the candidates that solve the
+    StaticPolicy notebook; this leg pins the corrected semantics where the
+    short-horizon HarmonicOscillator leg (no divergence) cannot see them.
+    """
+    patch_shard_map()
+
+    from MultiTreeGP.environments.control_environments.acrobot import (
+        Acrobot as RefAcrobot,
+    )
+    from MultiTreeGP.evaluators.feedforward_evaluate import Evaluator as RefFF
+    from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    operator_list = [
+        ("+", lambda x, y: jnp.add(x, y), 2, 0.5),
+        ("-", lambda x, y: jnp.subtract(x, y), 2, 0.1),
+        ("*", lambda x, y: jnp.multiply(x, y), 2, 0.5),
+        ("sin", lambda x: jnp.sin(x), 1, 0.1),
+        ("cos", lambda x: jnp.cos(x), 1, 0.1),
+    ]
+    variables = [["y1", "y2", "y3", "y4"]]
+    ref_env = RefAcrobot(0.05, 0.1)
+    ref_gp = RefGP(
+        num_generations=2,
+        population_size=population_size,
+        fitness_function=RefFF(ref_env, dt0=dt0),
+        operator_list=operator_list,
+        variable_list=variables,
+        layer_sizes=jnp.array([1]),
+        num_populations=1,
+    )
+
+    key = jr.PRNGKey(1)
+    k_init, k_noise, k_param, k_pop = jr.split(key, 4)
+    x0s, targets = ref_env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+    params = ref_env.sample_params(batch_size, "Constant", ts, k_param)
+    pkeys = jr.split(k_noise, batch_size)
+    okeys = jr.split(jr.fold_in(k_noise, 1), batch_size)
+    data = (x0s, ts, targets, pkeys, okeys, params)
+
+    pops = ref_gp.initialize_population(k_pop)
+    flat = pops.reshape(-1, *pops.shape[2:])
+    ref_fit = np.asarray(
+        ref_gp.vmap_trees(flat[..., 3:], flat[..., :3], data)
+    ).reshape(-1)
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.core.trees import TreeTensors, validate_host
+    from multitreegp_tpu.models.environments import Acrobot
+    from multitreegp_tpu.models.evaluators import StaticPolicyEvaluator
+
+    fset = build_function_set(operator_list, variables, [1])
+    mine = TreeTensors(
+        ops=jnp.asarray(flat[..., 0], jnp.int32),
+        c1=jnp.asarray(flat[..., 1], jnp.int32),
+        c2=jnp.asarray(flat[..., 2], jnp.int32),
+        const=jnp.asarray(flat[..., 3], jnp.float32),
+    )
+    validate_host(mine, fset.slots)
+    ev = StaticPolicyEvaluator(
+        Acrobot(0.05, 0.1), fset, method="euler",
+        substeps=int(round(save_dt / dt0)),
+    )
+    my_fit = np.asarray(jax.jit(lambda p: ev.evaluate_population(p, data))(mine))
+
+    sound = (ref_fit < 1e3) & (my_fit < 1e3)
+    rel = np.abs(ref_fit[sound] - my_fit[sound]) / (np.abs(ref_fit[sound]) + 1e-9)
+    # the interesting class: real controllers (well below the no-swing-up
+    # floor of len(ts)); the leg is vacuous if none were sampled
+    solvers = ref_fit < 0.8 * ts.shape[0]
+    lines = [
+        "",
+        "## Acrobot static policy at a diverging horizon "
+        f"(T={ts.shape[0]}, Euler dt0={dt0})",
+        "",
+        f"- candidates: {len(ref_fit)} (reference-sampled), "
+        f"swing-up controllers among them: {int(solvers.sum())}",
+        f"- sound candidates (fitness < 1e3 in both): {int(sound.sum())}",
+        f"- relative fitness error on sound candidates: "
+        f"max {rel.max():.2e}, mean {rel.mean():.2e}",
+        f"- sound-verdict agreement: {((ref_fit < 1e3) == (my_fit < 1e3)).mean():.4f}",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    out = report_path or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "GOLDEN_PARITY.md"
+    )
+    with open(out, "a") as f:
+        f.write(report + "\n")
+    assert solvers.sum() >= 1, "no swing-up candidate sampled — leg vacuous"
+    assert rel.max() < 1e-3
+    assert ((ref_fit < 1e3) == (my_fit < 1e3)).mean() > 0.97
+    print("ACROBOT DIVERGING-HORIZON PARITY OK")
+
+
 def main_dynamic(population_size: int = 100, batch_size: int = 4,
                  horizon: float = 3.0, save_dt: float = 0.2, dt0: float = 0.01,
                  state_size: int = 2, report_path: str | None = None):
