@@ -261,6 +261,10 @@ class StaticPolicyEvaluator:
         # maps to max_fitness.
         alive_pb = jnp.transpose(alive, (1, 2, 0))  # (P, B, T)
         xs_pb = jnp.where(alive_pb[..., None], xs_pb, jnp.inf)
+        # the reference recomputes controls from the inf-filled states, so us
+        # is non-finite at dead saves too — match that (a cost integrating us
+        # without touching xs must still see the divergence)
+        us_pb = jnp.where(alive_pb[..., None], us_pb, jnp.inf)
         cost = jax.vmap(  # over P
             jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0)),
             in_axes=(0, 0, None, None, None),
@@ -282,6 +286,7 @@ class StaticPolicyEvaluator:
         us_b = jnp.transpose(us[:, 0], (1, 0, 2))
         alive_b = jnp.transpose(alive[:, 0], (1, 0))  # (B, T)
         xs_dead = jnp.where(alive_b[..., None], xs_b, jnp.inf)
-        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_dead, us_b, targets, ts, params)
+        us_dead = jnp.where(alive_b[..., None], us_b, jnp.inf)
+        cost = jax.vmap(env.fitness, in_axes=(0, 0, 0, None, 0))(xs_dead, us_dead, targets, ts, params)
         cost = jnp.where(jnp.isfinite(cost), cost, self.max_fitness)
         return xs_b, jnp.transpose(ys[:, 0], (1, 0, 2)), us_b, cost

@@ -65,6 +65,28 @@ def _ring_shift_islands(block, axis_name: str):
     return jax.tree_util.tree_map(shift, block)
 
 
+def _apply_migration(populations, fitness, recv_pop, recv_fit, do_migrate,
+                     migration_size):
+    """Replace each island's worst ``migration_size`` candidates with the
+    received blocks (when ``do_migrate``). Pure local math — shared by the
+    shard_map steps and the sequential per-shard emulation in
+    ``__graft_entry__.dryrun_multichip`` leg 4, so what the emulator
+    certifies is the exact production expression."""
+    worst = jnp.argsort(fitness, axis=1, descending=True)[:, :migration_size]
+    scatter = lambda x, idx, blk: jax.vmap(lambda xi, ii, bi: xi.at[ii].set(bi))(
+        x, idx, blk
+    )
+    migrated_pop = jax.tree_util.tree_map(
+        lambda x, blk: scatter(x, worst, blk), populations, recv_pop
+    )
+    migrated_fit = scatter(fitness, worst, recv_fit)
+    populations = jax.tree_util.tree_map(
+        lambda m, p: jnp.where(do_migrate, m, p), migrated_pop, populations
+    )
+    fitness = jnp.where(do_migrate, migrated_fit, fitness)
+    return populations, fitness
+
+
 def make_evolve_populations_collective(
     evolve_island: Callable,
     mesh: Mesh,
@@ -92,20 +114,10 @@ def make_evolve_populations_collective(
         send_pop = _ring_shift_islands(send_pop, axis_name)
         send_fit = _ring_shift_islands(send_fit, axis_name)
 
-        # replace each island's worst migration_size candidates
-        worst = jnp.argsort(fitness, axis=1, descending=True)[:, :migration_size]
-        scatter = lambda x, idx, blk: jax.vmap(lambda xi, ii, bi: xi.at[ii].set(bi))(
-            x, idx, blk
+        populations, fitness = _apply_migration(
+            populations, fitness, send_pop, send_fit, do_migrate,
+            migration_size,
         )
-        migrated_pop = jax.tree_util.tree_map(
-            lambda x, blk: scatter(x, worst, blk), populations, send_pop
-        )
-        migrated_fit = scatter(fitness, worst, send_fit)
-
-        populations = jax.tree_util.tree_map(
-            lambda m, p: jnp.where(do_migrate, m, p), migrated_pop, populations
-        )
-        fitness = jnp.where(do_migrate, migrated_fit, fitness)
 
         return jax.vmap(evolve_island)(
             populations, fitness, keys, hp_type, hp_repro, hp_tour
@@ -169,19 +181,10 @@ def make_evolve_populations_collective_fused(
         send_pop = _ring_shift_islands(send_pop, axis_name)
         send_fit = _ring_shift_islands(send_fit, axis_name)
 
-        worst = jnp.argsort(fitness, axis=1, descending=True)[:, :migration_size]
-        scatter = lambda x, idx, blk: jax.vmap(lambda xi, ii, bi: xi.at[ii].set(bi))(
-            x, idx, blk
+        populations, fitness = _apply_migration(
+            populations, fitness, send_pop, send_fit, do_migrate,
+            migration_size,
         )
-        migrated_pop = jax.tree_util.tree_map(
-            lambda x, blk: scatter(x, worst, blk), populations, send_pop
-        )
-        migrated_fit = scatter(fitness, worst, send_fit)
-
-        populations = jax.tree_util.tree_map(
-            lambda m, p: jnp.where(do_migrate, m, p), migrated_pop, populations
-        )
-        fitness = jnp.where(do_migrate, migrated_fit, fitness)
 
         return reproduce_islands(
             populations, fitness, keys, hp_type, hp_repro, hp_tour

@@ -214,3 +214,34 @@ def test_obs_noise_deterministic_in_t():
     y3 = env.f_obs(key, jnp.asarray(1.35), x, params)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_dead_saves_inf_fill_reaches_us_only_costs():
+    """Reference semantics (feedforward_evaluate.py:90-99): post-halt saves
+    are inf in BOTH the states and the recomputed controls — a cost that
+    integrates only ``us`` must still see the divergence (ADVICE r3 #2).
+    The drift diverges regardless of the policy, so every candidate's
+    trajectory halts early; the u-only cost must come back non-finite and
+    map to max_fitness."""
+
+    class ExplodingUSquared(HarmonicOscillator):
+        def drift(self, t, x, u, params):
+            return 5.0 * x * x * jnp.sign(x) + 1.0  # finite-time blow-up
+
+        def fitness(self, xs, us, target, ts, params):
+            return jnp.mean(us[:, 0] ** 2)  # touches ONLY the controls
+
+    ops = default_sr_operators()[:3]
+    env = ExplodingUSquared(0.0, 0.0)
+    fset = build_function_set(ops, [["y1", "y2"]], [env.n_control])
+    ts = jnp.arange(0.0, 5.0, 0.2)
+    data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=4)
+    sampler = make_population_sampler(fset, 3, N)
+    pop = sampler(jr.PRNGKey(1), 8)
+    ev = StaticPolicyEvaluator(env, fset, substeps=2)
+    fit = np.asarray(jax.jit(lambda p, d: ev.evaluate_population(p, d))(pop, data))
+    assert (fit == ev.max_fitness).all(), fit
+
+    cand = jax.tree_util.tree_map(lambda x: x[0], pop)
+    *_rest, cost = ev.evaluate_candidate(cand, data)
+    assert (np.asarray(cost) == ev.max_fitness).all(), cost

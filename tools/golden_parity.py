@@ -371,6 +371,12 @@ def main_acrobot(population_size: int = 100, batch_size: int = 4,
     my_fit = np.asarray(jax.jit(lambda p: ev.evaluate_population(p, data))(mine))
 
     sound = (ref_fit < 1e3) & (my_fit < 1e3)
+    # fail loud (not np.max-on-empty) if a horizon/seed change makes every
+    # candidate diverge in one stack — the leg would be vacuous
+    assert sound.sum() > 0, (
+        f"vacuous leg: no sound candidates (ref<1e3: {(ref_fit < 1e3).sum()},"
+        f" ours<1e3: {(my_fit < 1e3).sum()})"
+    )
     rel = np.abs(ref_fit[sound] - my_fit[sound]) / (np.abs(ref_fit[sound]) + 1e-9)
     # the interesting class: real controllers (well below the no-swing-up
     # floor of len(ts)); the leg is vacuous if none were sampled

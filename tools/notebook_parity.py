@@ -114,7 +114,10 @@ def _on_cpu(fn):
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         return jax.tree_util.tree_map(np.asarray, fn())
 
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "results_r3")
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..",
+    os.environ.get("MTGP_NBP_OUT", "results_r4"),
+)
 
 
 def _out_path(task: str, stack: str, seed: int) -> str:
@@ -130,9 +133,17 @@ def _save_curve(path: str, best: list, done: bool) -> None:
 
 # ---------------------------------------------------------------- SR task
 
-SR_GENS = 100
+SR_GENS = int(os.environ.get("MTGP_NBP_SR_GENS", "100"))
 SR_POP = 100
 SR_ISLANDS = 10
+# VERDICT r3 missing #1: the reference's Dopri5+PID eval runs ~55 min/gen on
+# this 1-core host (gen 3/100 after 3 h) — the literal-notebook comparison is
+# infeasible. Redesigned exactly like the policy/dynamic legs: BOTH stacks on
+# fixed-step Euler with the same dt0 (default 0.05 = 4 substeps per 0.2 save;
+# candidate-level adaptive parity is covered by golden_parity.main_adaptive).
+# MTGP_NBP_SR_SOLVER=dopri5_pid restores the literal notebook solver.
+SR_SOLVER = os.environ.get("MTGP_NBP_SR_SOLVER", "euler")
+SR_DT0 = float(os.environ.get("MTGP_NBP_SR_DT0", "0.05"))
 
 
 def sr_operators():
@@ -184,16 +195,24 @@ def run_sr_ref(seed: int) -> None:
     from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
 
     data = _on_cpu(sr_data)
-    ref_gp = RefGP(
-        num_generations=SR_GENS,
-        population_size=SR_POP,
-        fitness_function=RefEvaluator(
+    if SR_SOLVER == "euler":
+        fitness_function = RefEvaluator(
+            solver=diffrax.Euler(), dt0=SR_DT0,
+            stepsize_controller=diffrax.ConstantStepSize(),
+            max_steps=int(20.0 / SR_DT0) + 8,
+        )
+    else:
+        fitness_function = RefEvaluator(
             solver=diffrax.Dopri5(), dt0=0.01,
             stepsize_controller=diffrax.PIDController(
                 atol=1e-6, rtol=1e-6, dtmin=0.001
             ),
             max_steps=500,
-        ),
+        )
+    ref_gp = RefGP(
+        num_generations=SR_GENS,
+        population_size=SR_POP,
+        fitness_function=fitness_function,
         operator_list=sr_operators(),
         variable_list=[["x0", "x1"]],
         layer_sizes=jnp.array([2]),
@@ -212,15 +231,22 @@ def run_sr_ours(seed: int) -> None:
     from multitreegp_tpu.models.evaluators import SREvaluator
 
     data = _on_cpu(sr_data)
+    if SR_SOLVER == "euler":
+        # match the redesigned ref leg: fixed-step Euler, substeps per save
+        fitness_function = SREvaluator(
+            method="euler", substeps=int(round(0.2 / SR_DT0)),
+        )
+    else:
+        # interpreter="auto": the fused adaptive Pallas kernel on TPU
+        # (the production path), gather on CPU
+        fitness_function = SREvaluator(
+            method="adaptive", adaptive_method="dopri5",
+            rtol=1e-6, atol=1e-6, substeps=32,
+        )
     gp = GeneticProgramming(
         num_generations=SR_GENS,
         population_size=SR_POP,
-        # interpreter="auto": the fused adaptive Pallas kernel on TPU
-        # (the production path), gather on CPU
-        fitness_function=SREvaluator(
-            method="adaptive", adaptive_method="dopri5",
-            rtol=1e-6, atol=1e-6, substeps=32,
-        ),
+        fitness_function=fitness_function,
         operator_list=sr_operators(),
         variable_list=[["x0", "x1"]],
         layer_sizes=[2],
@@ -426,9 +452,11 @@ def report(task: str) -> None:
     ref_med = np.median(ref, axis=0)
     our_med = np.median(ours, axis=0)
 
+    sr_solver = ("Dopri5+PID 1e-6" if SR_SOLVER != "euler"
+                 else f"Euler dt0={SR_DT0} both stacks")
     titles = {
         "sr": (f"SR notebook scale (VdP, pop {SR_POP} x {SR_ISLANDS}, "
-               f"{gens} gens, Dopri5+PID 1e-6, batch 16, T=20)"),
+               f"{gens} gens, {sr_solver}, batch 16, T=20)"),
         "policy": (f"StaticPolicy notebook scale (Acrobot, pop {POL_POP} x "
                    f"{POL_ISLANDS}, {gens} gens, Euler dt0={POL_DT0}, "
                    "batch 16, T=50)"),
