@@ -631,6 +631,24 @@ def far_link_rows(trees: TreeTensors, window: int | None = None):
     return (trees.c2 >= 0) & (dist > window)
 
 
+def _plane_need(trees: TreeTensors, slots):
+    """Per-(candidate, tree, row) plane-ladder trip need (see
+    ``deep_tile_scalars``): binary rows read plane ``sp - 2`` (``sp - 1``
+    trips), leaf rows spill to ``sp - 1`` (``sp`` trips), others none."""
+    from .trees import EMPTY
+
+    used = trees.ops != EMPTY
+    arity = jnp.take(jnp.asarray(slots, jnp.int32), trees.ops, axis=0)
+    w = jnp.where(used, 1 - arity, 0)
+    sp_after = jnp.cumsum(w, axis=-1)
+    sp_before = sp_after - w
+    need = jnp.where(
+        used & (arity == 2), sp_before - 1,
+        jnp.where(used & (arity == 0), sp_before, 0),
+    ).astype(jnp.int32)  # (P, m, N)
+    return jnp.maximum(need, 0)
+
+
 def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
                       grid: int, lp: int):
     """Per-(lane-tile, tree) SMEM streams for the deep stack kernels.
@@ -656,17 +674,8 @@ def deep_tile_scalars(trees: TreeTensors, slots, b: int, tile: int,
 
     p, m = trees.batch_shape
     n = trees.max_nodes
-    used = trees.ops != EMPTY
-    arity = jnp.take(jnp.asarray(slots, jnp.int32), trees.ops, axis=0)
-    w = jnp.where(used, 1 - arity, 0)
-    sp_after = jnp.cumsum(w, axis=-1)
-    sp_before = sp_after - w
-    need = jnp.where(
-        used & (arity == 2), sp_before - 1,
-        jnp.where(used & (arity == 0), sp_before, 0),
-    ).astype(jnp.int32)  # (P, m, N)
-    need = jnp.maximum(need, 0)
-    sizes = jnp.sum(used, axis=-1).astype(jnp.int32)  # (P, m)
+    need = _plane_need(trees, slots)  # (P, m, N)
+    sizes = jnp.sum(trees.ops != EMPTY, axis=-1).astype(jnp.int32)  # (P, m)
     if tile % b == 0:
         cpt = tile // b  # candidates per lane tile
         p_pad = grid * cpt
@@ -706,15 +715,35 @@ def tile_start_rows(trees: TreeTensors, b: int, tile: int, grid: int,
     return (n - size_max).astype(jnp.int32)[..., None]
 
 
-def size_sort_candidates(trees: TreeTensors):
-    """Sort candidates by total tree size (ascending); returns
-    ``(sorted_trees, order, inv_order)``. Size-homogeneous lane tiles make
-    the deep kernels' per-tile ``start_rows`` bound tight; per-lane results
-    are independent, so evaluating sorted and inverse-permuting the outputs
-    is bit-exact."""
+def size_sort_candidates(trees: TreeTensors, slots=None):
+    """Sort candidates for lane-tile packing; returns
+    ``(sorted_trees, order, inv_order)``. Per-lane results are independent,
+    so evaluating sorted and inverse-permuting the outputs is bit-exact.
+
+    Default key: total tree size (ascending) — size-homogeneous lane tiles
+    make the deep kernels' per-tile ``start_rows`` bound tight.
+    ``MTGP_SR_SORT`` selects alternatives for the EVOLVED-population packing
+    A/B (VERDICT r3 #3; needs ``slots``, else falls back to size):
+
+    - ``trips``      — total plane-ladder trip need: the deep kernel's
+      per-row cost is ``max`` over the tile's lanes, and evolved pops are
+      shape-diverse at equal size (crossover splices), so clustering by the
+      ladder work itself can tighten the per-row union.
+    - ``size_trips`` — size-major, trips-minor lexicographic.
+    """
+    import os
+
     from .trees import EMPTY
 
-    order = jnp.argsort(jnp.sum(jnp.sum(trees.ops != EMPTY, axis=-1), axis=-1))
+    sizes = jnp.sum(jnp.sum(trees.ops != EMPTY, axis=-1), axis=-1)
+    mode = os.environ.get("MTGP_SR_SORT", "size")
+    if slots is not None and mode in ("trips", "size_trips"):
+        trips = jnp.sum(_plane_need(trees, slots), axis=(-1, -2))
+        n2 = trees.max_nodes * trees.max_nodes  # > any trip total
+        key = trips if mode == "trips" else sizes * n2 + trips
+    else:
+        key = sizes
+    order = jnp.argsort(key)
     inv_order = jnp.argsort(order)
     return (
         jax.tree_util.tree_map(lambda t: t[order], trees), order, inv_order
@@ -952,7 +981,7 @@ def _fitness_impl(
         # skip kernel's pl.when gate) starts at the TILE's first used row
         # (padding-first layout), so grouping similar-sized candidates into
         # the same tile makes that bound tight
-        trees, order, inv_order = size_sort_candidates(trees)
+        trees, order, inv_order = size_sort_candidates(trees, fset.slots)
         x0 = x0[order]
 
     (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
@@ -1136,11 +1165,14 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                                   sub: int):
     from ..models.integrators import _BS_A, _BS_B_LOW, _DP_A, _DP_B4, _DP_B5
 
+    import os
+
     if method not in ("bosh3", "dopri5"):
         # match integrate_adaptive: an unknown method must error, not
         # silently integrate with the dopri5 tableau
         raise ValueError(f"unknown adaptive method: {method!r}")
     err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
+    dt_reset = os.environ.get("MTGP_ADAPTIVE_DT_RESET") == "1"
     eval_deep = _make_deep_tree_eval(fset, n, sub)
 
     def kernel(ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
@@ -1235,6 +1267,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
         y_copy(0, 0).wait()
         err_ref[0] = sq_err(x, 0)
         steps_ref[0] = jnp.zeros((sub, LANE), jnp.float32)
+        if not dt_reset:
+            # diffrax PID semantics (mirrors integrate_adaptive): dt carries
+            # across save intervals; seed at the first interval's span/4
+            dt_scr[...] = jnp.zeros((sub, LANE), jnp.float32) + (
+                (ts_ref[1] - ts_ref[0]) / 4.0 if t_steps > 1 else 1.0
+            )
 
         def save_step(ti, _):
             y_copy(ti + 1, (ti + 1) % 2).wait()
@@ -1243,7 +1281,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
             span = t1 - t0
             zero = jnp.zeros((sub, LANE), jnp.float32)
             t_scr[...] = zero + t0
-            dt_scr[...] = zero + span / 4.0
+            if dt_reset:  # r1-r3 semantics (MTGP_ADAPTIVE_DT_RESET=1 A/B)
+                dt_scr[...] = zero + span / 4.0
+            else:
+                # clamp the carried dt to this interval's bounds — the same
+                # expression integrate_adaptive applies to its carry
+                dt_scr[...] = jnp.clip(dt_scr[...], span * 1e-3, span)
 
             def step(_s, _c):
                 t = t_scr[...]
@@ -1457,7 +1500,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     tile = sub * LANE
 
     if order is None:
-        trees, order, inv_order = size_sort_candidates(trees)
+        trees, order, inv_order = size_sort_candidates(trees, fset.slots)
     else:
         # caller-supplied lane order (stiffness probe): cluster candidates
         # by expected controller effort so a tile's lanes finish together

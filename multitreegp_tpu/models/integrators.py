@@ -219,12 +219,23 @@ def integrate_adaptive(
 
     rk_step = rk_step_bosh3 if method == "bosh3" else rk_step_dopri5
 
+    import os
+
+    dt_reset = os.environ.get("MTGP_ADAPTIVE_DT_RESET") == "1"
+
     def interval(carry, t_pair):
-        x, alive = carry
+        x, alive, dt_carry = carry
         t0, t1 = t_pair
         span = t1 - t0
         t = jnp.broadcast_to(t0, alive.shape)
-        dt = jnp.broadcast_to(span / 4.0, alive.shape)
+        if dt_reset:  # r1-r3 semantics: re-converge dt every save interval
+            dt = jnp.broadcast_to(span / 4.0, alive.shape)
+        else:
+            # diffrax PIDController semantics: the controller's step size
+            # carries across save points (clamped to this interval's
+            # bounds) — a converged lane re-enters at its working dt
+            # instead of re-converging from span/4 every interval
+            dt = jnp.clip(dt_carry, span * 1e-3, span)
 
         def body(_, state):
             t, dt, x, alive = state
@@ -253,7 +264,7 @@ def integrate_adaptive(
         )
         # lanes that never reached t1 ran out of steps -> dead (max_steps)
         alive = alive & (t >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0))
-        return (x, alive), (x, alive)
+        return (x, alive, dt), (x, alive)
 
     if remat:
         interval = jax.checkpoint(interval)
@@ -262,7 +273,13 @@ def integrate_adaptive(
     if cond_alive is not None:
         alive0 = alive0 & cond_alive(ts[0], x0)
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-    (_, _), (xs, alives) = jax.lax.scan(interval, (x0, alive0), t_pairs)
+    dt0 = jnp.broadcast_to(
+        (ts[1] - ts[0]) / 4.0 if ts.shape[0] > 1 else jnp.float32(1.0),
+        alive0.shape,
+    ).astype(x0.dtype)
+    (_, _, _), (xs, alives) = jax.lax.scan(
+        interval, (x0, alive0, dt0), t_pairs
+    )
     xs = jnp.concatenate([x0[None], xs], axis=0)
     alives = jnp.concatenate([alive0[None], alives], axis=0)
     return xs, alives
