@@ -1173,12 +1173,23 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
         raise ValueError(f"unknown adaptive method: {method!r}")
     err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
     dt_reset = os.environ.get("MTGP_ADAPTIVE_DT_RESET") == "1"
+    # FSAL (first-same-as-last): both tableaus evaluate their LAST stage at
+    # x_hi (dopri5's A row 7 == b5[:6] float-for-float above; bosh3's x_hi
+    # uses _BS_A[2] directly), so an ACCEPTED step's last k is exactly the
+    # next step's k1 = drift(x_hi), and a rejected step leaves x (hence
+    # drift(x)) unchanged. Carrying k1 in VMEM drops the per-attempt drift
+    # count 7->6 (dopri5) / 4->3 (bosh3), bit-exact vs recomputing (on
+    # accept, err finiteness forces the last k finite; the only divergence
+    # is a +-0.0 sign corner through dopri5's literal +0.0*k7 term).
+    # MTGP_ADAPTIVE_NO_FSAL=1 restores the recompute for A/B.
+    fsal = (os.environ.get("MTGP_ADAPTIVE_NO_FSAL") != "1"
+            and os.environ.get("MTGP_ADAPTIVE_FSAL", "1") == "1")
     eval_deep = _make_deep_tree_eval(fset, n, sub)
 
     def kernel(ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
                start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
                t_scr, dt_scr, y_scr, ysem, tree_scr, planes_scr, sp_scr,
-               top_scr, ysel_scr):
+               top_scr, ysel_scr, k1_scr):
         gi = pl.program_id(0)
 
         def drift(x_tiles):
@@ -1215,11 +1226,12 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
             return e
 
         def rk_step(x, dt_c):
-            """One embedded step; returns (x_hi tiles, err_norm tile).
+            """One embedded step; returns (x_hi tiles, err_norm tile,
+            k_last tiles — the FSAL candidate for the next step's k1).
             Expression-for-expression the same arithmetic as
             integrate_adaptive's rk_step_{bosh3,dopri5}."""
             if method == "bosh3":
-                k1 = drift(x)
+                k1 = ([k1_scr[i] for i in range(m)] if fsal else drift(x))
                 k2 = drift([x[i] + 0.5 * dt_c * k1[i] for i in range(m)])
                 k3 = drift([x[i] + 0.75 * dt_c * k2[i] for i in range(m)])
                 x_hi = [
@@ -1233,8 +1245,9 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                                    + _BS_B_LOW[2] * k3[i] + _BS_B_LOW[3] * k4[i])
                     for i in range(m)
                 ]
+                k_last = k4
             else:  # dopri5
-                ks = [drift(x)]
+                ks = [[k1_scr[i] for i in range(m)] if fsal else drift(x)]
                 for ai in _DP_A:
                     xi = [
                         x[i] + dt_c * sum(a * k[i] for a, k in zip(ai, ks))
@@ -1249,18 +1262,23 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                     x[i] + dt_c * sum(b * k[i] for b, k in zip(_DP_B4, ks))
                     for i in range(m)
                 ]
+                k_last = ks[6]
             acc = jnp.zeros((sub, LANE), jnp.float32)
             for i in range(m):
                 scale = atol + rtol * jnp.maximum(jnp.abs(x[i]), jnp.abs(x_hi[i]))
                 r = (x_hi[i] - x_lo[i]) / scale
                 acc = acc + r * r
             err_norm = jnp.sqrt(acc * (1.0 / m))
-            return x_hi, err_norm
+            return x_hi, err_norm, k_last
 
         x = [x0_ref[mi, 0] for mi in range(m)]
         live_ref[...] = finite_tiles(x).astype(jnp.float32)
         for mi in range(m):
             x_ref[mi] = x[mi]
+        if fsal and t_steps > 1:
+            k1 = drift(x)  # the one up-front eval the FSAL carry amortizes
+            for mi in range(m):
+                k1_scr[mi] = k1[mi]
         y_copy(0, 0).start()
         if t_steps > 1:
             y_copy(1, 1).start()
@@ -1295,11 +1313,15 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                 x = [x_ref[mi] for mi in range(m)]
                 active = alive & (t < t1 - 1e-12)
                 dt_c = jnp.minimum(dt, t1 - t)
-                x_hi, err = rk_step(x, dt_c)
+                x_hi, err, k_last = rk_step(x, dt_c)
                 ok = finite_tiles(x_hi) & jnp.isfinite(err)
                 accept = active & ok & (err <= 1.0)
                 for mi in range(m):
                     x_ref[mi] = jnp.where(accept, x_hi[mi], x[mi])
+                if fsal:
+                    # maintain k1_scr == drift(x_ref): x only moves on accept
+                    for mi in range(m):
+                        k1_scr[mi] = jnp.where(accept, k_last[mi], k1_scr[mi])
                 t_scr[...] = jnp.where(accept, t + dt_c, t)
                 # I controller: grow/shrink by err^(-1/order), clamped 0.2..5x
                 factor = jnp.where(
@@ -1562,6 +1584,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pltpu.VMEM((sub, LANE), jnp.int32),  # sp_scr
             pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
             pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
+            pltpu.VMEM((m, sub, LANE), jnp.float32),  # k1_scr (FSAL carry)
         ],
     )(ops_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
       row_trips, start_rows)

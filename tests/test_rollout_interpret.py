@@ -284,6 +284,46 @@ def test_adaptive_fitness_kernel_matches_general(adaptive_method):
     assert dd.max() < 1e-4, dd.max()
 
 
+@pytest.mark.parametrize("adaptive_method", ["bosh3", "dopri5"])
+def test_adaptive_fsal_carry_bit_exact(adaptive_method, monkeypatch):
+    """FSAL k1 carry vs per-attempt recompute must be BIT-identical: both
+    tableaus evaluate their last stage at x_hi (dopri5 A row 7 == b5[:6]
+    float-for-float), x only moves on accept, and on accept err finiteness
+    forces the last k finite — so the carried k1 equals drift(x) exactly at
+    every attempt. Long enough horizon that accepts, rejects, divergence
+    death, and the cross-interval dt carry all occur."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.2, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(5), 4)
+    x0 = jnp.broadcast_to(x0s[None], (4, 2, 2))
+
+    out = {}
+    for mode, env_val in [("fsal", "1"), ("recompute", "0")]:
+        monkeypatch.setenv("MTGP_ADAPTIVE_FSAL", env_val)
+        with pltpu.force_tpu_interpret_mode():
+            out[mode] = prl.rollout_sr_fitness_adaptive_pallas(
+                pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+                method=adaptive_method,
+            )
+    np.testing.assert_array_equal(np.asarray(out["fsal"][0]),
+                                  np.asarray(out["recompute"][0]))
+    np.testing.assert_array_equal(np.asarray(out["fsal"][1]),
+                                  np.asarray(out["recompute"][1]))
+
+
 def test_adaptive_fused_through_evaluator_interpret():
     """SREvaluator(method='adaptive', interpreter='pallas') must route
     through the fused adaptive kernel and agree with the ladder evaluator's
