@@ -12,6 +12,7 @@ vs_baseline is measured against the 1e9 node-evals/sec/chip target.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -195,7 +196,14 @@ def main(
             atol=evaluator.atol, max_steps=adaptive_step_budget(substeps),
             method=evaluator.adaptive_method,
         ))
-        drifts_per_step = {"dopri5": 7, "bosh3": 4}[evaluator.adaptive_method]
+        # FSAL carry (default on): the kernel computes 6 drifts per dopri5
+        # attempt / 3 per bosh3 (the carried k1 replaces the first stage);
+        # count what the chip actually executes
+        fsal = (os.environ.get("MTGP_ADAPTIVE_NO_FSAL") != "1"
+                and os.environ.get("MTGP_ADAPTIVE_FSAL", "1") == "1")
+        drifts_per_step = ({"dopri5": 6, "bosh3": 3} if fsal
+                           else {"dopri5": 7, "bosh3": 4})[
+                               evaluator.adaptive_method]
         tile_lanes = SUBLANES_DEEP * 128
         node_evals = (
             float(jnp.sum(steps)) * drifts_per_step
