@@ -94,6 +94,8 @@ SLOW_TESTS = {
     "test_fused_fitness_matches_general_static",
     "test_fused_fitness_matches_general_dynamic",
     "test_process_noise_stream_sde",
+    # r4 additions
+    "test_adaptive_fsal_carry_bit_exact",
 }
 
 import pytest  # noqa: E402
