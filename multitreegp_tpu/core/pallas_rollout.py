@@ -1162,7 +1162,7 @@ def _rollout_impl(
 def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
                                   t_steps: int, max_steps: int, rtol: float,
                                   atol: float, safety: float, method: str,
-                                  sub: int):
+                                  sub: int, shallow: bool = False):
     from ..models.integrators import _BS_A, _BS_B_LOW, _DP_A, _DP_B4, _DP_B5
 
     import os
@@ -1184,27 +1184,54 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
     # MTGP_ADAPTIVE_NO_FSAL=1 restores the recompute for A/B.
     fsal = (os.environ.get("MTGP_ADAPTIVE_NO_FSAL") != "1"
             and os.environ.get("MTGP_ADAPTIVE_FSAL", "1") == "1")
-    eval_deep = _make_deep_tree_eval(fset, n, sub)
+    if shallow:
+        eval_shallow = _make_sr_tree_eval_when(fset, n, sub)
+    else:
+        eval_deep = _make_deep_tree_eval(fset, n, sub)
 
-    def kernel(ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
-               start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
-               t_scr, dt_scr, y_scr, ysem, tree_scr, planes_scr, sp_scr,
-               top_scr, ysel_scr, k1_scr):
+    def kernel(*refs):
+        if shallow:
+            (ops_ref, c2_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
+             start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
+             t_scr, dt_scr, y_scr, ysem, tree_scr, vals_scr, k1_scr) = refs
+        else:
+            (ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
+             start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
+             t_scr, dt_scr, y_scr, ysem, tree_scr, planes_scr, sp_scr,
+             top_scr, ysel_scr, k1_scr) = refs
         gi = pl.program_id(0)
 
-        def drift(x_tiles):
-            def body(mi, _):
-                eval_deep(
-                    _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
-                    x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
-                    start=start_ref[0, mi, 0],
-                    depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
-                )
-                tree_scr[mi] = ysel_scr[...]
-                return 0
+        if shallow:
+            # N <= UNROLL_MAX_NODES: the static-index pl.when ladder the
+            # fixed-step SR fitness kernel uses (r2 A/B: 6.46e10 vs the
+            # rolled eval's 4.05e10 at N=32 — dynamic row indexing costs
+            # more than the skip saves on shallow tiles)
+            def drift(x_tiles):
+                def body(mi, _):
+                    eval_shallow(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi), x_tiles,
+                        vals_scr, start_ref[0, mi, 0],
+                    )
+                    tree_scr[mi] = vals_scr[n - 1]
+                    return 0
 
-            jax.lax.fori_loop(0, m, body, 0)
-            return [tree_scr[mi] for mi in range(m)]
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        else:
+            def drift(x_tiles):
+                def body(mi, _):
+                    eval_deep(
+                        _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
+                        x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
+                        start=start_ref[0, mi, 0],
+                        depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
+                    )
+                    tree_scr[mi] = ysel_scr[...]
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
 
         def y_copy(row, slot):
             return pltpu.make_async_copy(
@@ -1541,8 +1568,19 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
         trees, fset.slots, b, tile, grid, lp
     )
 
+    # shallow drift eval (static-index pl.when ladder) vs the rolled stack
+    # machine: the ladder won the r2 fixed-step A/B at N <= UNROLL_MAX_NODES;
+    # MTGP_ADAPTIVE_EVAL=stack|ladder overrides the gate for hardware A/Bs
+    import os as _os
+
+    _ev = _os.environ.get("MTGP_ADAPTIVE_EVAL", "auto")
+    from .pallas_interpreter import UNROLL_MAX_NODES as _UNROLL_N
+
+    shallow = (_ev == "ladder" or (_ev == "auto" and n <= _UNROLL_N))
+
     kernel = _make_adaptive_fitness_kernel(
-        fset, n, m, t_steps, max_steps, rtol, atol, safety, method, sub
+        fset, n, m, t_steps, max_steps, rtol, atol, safety, method, sub,
+        shallow=shallow,
     )
     tree_spec = pl.BlockSpec(
         (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
@@ -1554,18 +1592,28 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
     smem_rows = pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
 
+    eval_scratch = (
+        [pltpu.VMEM((n, sub, LANE), jnp.float32)]  # vals_scr (ladder planes)
+        if shallow else
+        [pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
+         pltpu.VMEM((sub, LANE), jnp.int32),  # sp_scr
+         pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
+         pltpu.VMEM((sub, LANE), jnp.float32)]  # ysel_scr
+    )
     err, alive, steps = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            tree_spec, tree_spec,
-            pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
-            pl.BlockSpec(memory_space=pl.ANY),  # ys rows stream via DMA
-            smem_rows,  # per-row ladder-trip counts
-            smem_scalar,  # first-used-row starts
-        ],
+        in_specs=(
+            [tree_spec] + ([tree_spec] if shallow else []) + [tree_spec]
+            + [
+                pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
+                pl.BlockSpec(memory_space=pl.ANY),  # ys rows stream via DMA
+                smem_rows,  # per-row ladder-trip counts
+                smem_scalar,  # first-used-row starts
+            ]
+        ),
         out_specs=(lane_out, lane_out, lane_out),
         out_shape=(
             jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
@@ -1580,14 +1628,11 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pltpu.VMEM((2, d, sub, LANE), jnp.float32),  # y staging
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
-            pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
-            pltpu.VMEM((sub, LANE), jnp.int32),  # sp_scr
-            pltpu.VMEM((sub, LANE), jnp.float32),  # top_scr
-            pltpu.VMEM((sub, LANE), jnp.float32),  # ysel_scr
+        ] + eval_scratch + [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # k1_scr (FSAL carry)
         ],
-    )(ops_l, const_l, x0_l, jnp.asarray(ts, jnp.float32), ys_l,
-      row_trips, start_rows)
+    )(*([ops_l] + ([c2_l] if shallow else []) + [const_l, x0_l,
+        jnp.asarray(ts, jnp.float32), ys_l, row_trips, start_rows]))
 
     mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
     alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5

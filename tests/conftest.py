@@ -96,6 +96,7 @@ SLOW_TESTS = {
     "test_process_noise_stream_sde",
     # r4 additions
     "test_adaptive_fsal_carry_bit_exact",
+    "test_adaptive_shallow_ladder_matches_stack",
 }
 
 import pytest  # noqa: E402

@@ -284,6 +284,43 @@ def test_adaptive_fitness_kernel_matches_general(adaptive_method):
     assert dd.max() < 1e-4, dd.max()
 
 
+def test_adaptive_shallow_ladder_matches_stack(monkeypatch):
+    """The adaptive kernel's two drift evals — the static-index pl.when
+    ladder (shallow default at N <= UNROLL_MAX_NODES, r4) and the rolled
+    stack machine — implement the same tree semantics with the same fp
+    expressions, so the whole adaptive solve must agree BIT-exactly."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.8, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(7), 4)
+    x0 = jnp.broadcast_to(x0s[None], (4, 2, 2))
+
+    out = {}
+    for mode in ("ladder", "stack"):
+        monkeypatch.setenv("MTGP_ADAPTIVE_EVAL", mode)
+        with pltpu.force_tpu_interpret_mode():
+            out[mode] = prl.rollout_sr_fitness_adaptive_pallas(
+                pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5, max_steps=8,
+                method="dopri5",
+            )
+    np.testing.assert_array_equal(np.asarray(out["ladder"][0]),
+                                  np.asarray(out["stack"][0]))
+    np.testing.assert_array_equal(np.asarray(out["ladder"][1]),
+                                  np.asarray(out["stack"][1]))
+
+
 @pytest.mark.parametrize("adaptive_method", ["bosh3", "dopri5"])
 def test_adaptive_fsal_carry_bit_exact(adaptive_method, monkeypatch):
     """FSAL k1 carry vs per-attempt recompute must be BIT-identical: both
