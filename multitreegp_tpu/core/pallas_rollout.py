@@ -1377,16 +1377,32 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
             # Typical accepted-step counts are ~4-8 of max_steps=32, so this
             # is a multi-x win on the adaptive bench, bit-exact by the no-op
             # argument above.
-            def w_cond(s):
-                return (s < max_steps) & jnp.any(
+            #
+            # The exit predicate must reach the loop CONDITION as a scalar
+            # CARRY, not as a vector reduce evaluated inside the condition:
+            # the r1-r3 form (`cond = (s < max_steps) & jnp.any(...)`)
+            # compiled and interpreted correctly but NEVER exited early on
+            # hardware — the r4 adaptive profile showed wall scaling exactly
+            # with max_steps (694 ms at ms32 vs 349 ms at ms16, all-accept
+            # ~= default) while counted trips said 8.3/interval. Computing
+            # the reduce in the BODY and carrying it as an int32 gives
+            # Mosaic a scalar-only condition it honors.
+            def w_cond(c):
+                s, go = c
+                return (s < max_steps) & (go > 0)
+
+            def w_body(c):
+                s, _ = c
+                step(s, 0)
+                go = jnp.any(
                     (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
                 )
+                return s + 1, go.astype(jnp.int32)
 
-            def w_body(s):
-                step(s, 0)
-                return s + 1
-
-            jax.lax.while_loop(w_cond, w_body, 0)
+            go0 = jnp.any(
+                (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
+            ).astype(jnp.int32)
+            jax.lax.while_loop(w_cond, w_body, (0, go0))
             # lanes that never reached t1 ran out of steps -> dead (max_steps)
             reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
             live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
