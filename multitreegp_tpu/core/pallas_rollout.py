@@ -1193,12 +1193,13 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
         if shallow:
             (ops_ref, c2_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
              start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
-             t_scr, dt_scr, y_scr, ysem, tree_scr, vals_scr, k1_scr) = refs
+             t_scr, dt_scr, y_scr, ysem, tree_scr, vals_scr, k1_scr,
+             go_scr) = refs
         else:
             (ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
              start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
              t_scr, dt_scr, y_scr, ysem, tree_scr, planes_scr, sp_scr,
-             top_scr, ysel_scr, k1_scr) = refs
+             top_scr, ysel_scr, k1_scr, go_scr) = refs
         gi = pl.program_id(0)
 
         if shallow:
@@ -1378,31 +1379,31 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
             # is a multi-x win on the adaptive bench, bit-exact by the no-op
             # argument above.
             #
-            # The exit predicate must reach the loop CONDITION as a scalar
-            # CARRY, not as a vector reduce evaluated inside the condition:
-            # the r1-r3 form (`cond = (s < max_steps) & jnp.any(...)`)
-            # compiled and interpreted correctly but NEVER exited early on
-            # hardware — the r4 adaptive profile showed wall scaling exactly
-            # with max_steps (694 ms at ms32 vs 349 ms at ms16, all-accept
-            # ~= default) while counted trips said 8.3/interval. Computing
-            # the reduce in the BODY and carrying it as an int32 gives
-            # Mosaic a scalar-only condition it honors.
-            def w_cond(c):
-                s, go = c
-                return (s < max_steps) & (go > 0)
+            # lax.while_loop does NOT exit early on hardware regardless of
+            # how the condition is phrased: the r4 adaptive profile showed
+            # wall scaling exactly with max_steps (694 ms at ms32 vs 349 ms
+            # at ms16, all-accept ~= default) while counted trips said
+            # 8.3/interval — Mosaic runs the loop to its static bound with
+            # the body predicated, and a scalar-carry condition measured
+            # bit-identical wall. So the skip uses the mechanism the
+            # padding-prefix machinery already proves hardware honors:
+            # a fori_loop over the budget whose body sits under
+            # ``pl.when(go_scr[0] > 0)`` — once every lane has reached t1
+            # (or died), remaining iterations are a scalar test + branch
+            # skip instead of 6 predicated drift evals.
+            def w_body(s, _):
+                @pl.when(go_scr[0] > 0)
+                def _():
+                    step(s, 0)
+                    go_scr[0] = jnp.any(
+                        (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
+                    ).astype(jnp.int32)
+                return 0
 
-            def w_body(c):
-                s, _ = c
-                step(s, 0)
-                go = jnp.any(
-                    (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
-                )
-                return s + 1, go.astype(jnp.int32)
-
-            go0 = jnp.any(
+            go_scr[0] = jnp.any(
                 (live_ref[...] > 0.5) & (t_scr[...] < t1 - 1e-12)
             ).astype(jnp.int32)
-            jax.lax.while_loop(w_cond, w_body, (0, go0))
+            jax.lax.fori_loop(0, max_steps, w_body, 0, unroll=False)
             # lanes that never reached t1 ran out of steps -> dead (max_steps)
             reached = t_scr[...] >= t1 - 1e-9 * jnp.maximum(jnp.abs(t1), 1.0)
             live_ref[...] = ((live_ref[...] > 0.5) & reached).astype(jnp.float32)
@@ -1646,6 +1647,7 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
         ] + eval_scratch + [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # k1_scr (FSAL carry)
+            pltpu.SMEM((1,), jnp.int32),  # go_scr (early-exit scalar)
         ],
     )(*([ops_l] + ([c2_l] if shallow else []) + [const_l, x0_l,
         jnp.asarray(ts, jnp.float32), ys_l, row_trips, start_rows]))
