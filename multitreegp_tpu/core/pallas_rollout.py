@@ -736,7 +736,12 @@ def size_sort_candidates(trees: TreeTensors, slots=None):
     from .trees import EMPTY
 
     sizes = jnp.sum(jnp.sum(trees.ops != EMPTY, axis=-1), axis=-1)
-    mode = os.environ.get("MTGP_SR_SORT", "size")
+    # default size_trips after the r4 evolved-packing study: every ordering
+    # sits ~3x over the per-lane ideal (the per-row max over a 64-candidate
+    # tile is structural waste), but size-major/trips-minor measured +2.3%
+    # over plain size on the evolved_deep hardware A/B and never loses on
+    # the cost model (3.04x vs 3.12x). MTGP_SR_SORT=size restores r3.
+    mode = os.environ.get("MTGP_SR_SORT", "size_trips")
     if slots is not None and mode in ("trips", "size_trips"):
         trips = jnp.sum(_plane_need(trees, slots), axis=(-1, -2))
         n2 = trees.max_nodes * trees.max_nodes  # > any trip total
