@@ -46,15 +46,18 @@ REPS = 256   # grid steps, to get measurable wall
 
 def body_work(x):
     # ~64 dependent FMAs on an (8, 128) tile — expensive enough that a
-    # skipped iteration is clearly visible
+    # skipped iteration is clearly visible; growth must be WELL above f32
+    # eps or the flag never flips (the first probe version used 1e-7 steps,
+    # a device-side no-op at x=1 — every mechanism correctly ran the full
+    # budget and the probe said nothing)
     for _ in range(64):
-        x = x * 1.0000001 + 1e-7
+        x = x * 1.001 + 0.001
     return x
 
 
 def make_kernel(mode: str):
     def kernel(x_ref, o_ref, acc, go_scr):
-        acc[...] = x_ref[...]
+        acc[...] = x_ref[0]
         go_scr[0] = jnp.int32(1)
 
         def flag():
@@ -100,7 +103,7 @@ def make_kernel(mode: str):
                 return flag()
 
             jax.lax.fori_loop(0, TOTAL // CH, chunk, jnp.int32(1))
-        o_ref[...] = acc[...]
+        o_ref[0] = acc[...]
 
     return kernel
 
@@ -108,12 +111,17 @@ def make_kernel(mode: str):
 # flag threshold: after k iterations of body_work on ones, value ~
 # (1 + 1e-7)^... — compute the flip point numerically on host
 def thresh_after(k):
+    # f32 on host, exactly the device arithmetic; threshold at the midpoint
+    # between the value after FLIP and FLIP+1 iterations
     import numpy as np
 
-    x = np.ones((), np.float64)
-    for _ in range(k * 64):
-        x = x * 1.0000001 + 1e-7
-    return float(x * 8 * 128)
+    x = np.ones((), np.float32)
+    vals = [x]
+    for i in range((k + 1) * 64):
+        x = np.float32(x * np.float32(1.001) + np.float32(0.001))
+        vals.append(x)
+    lo, hi = float(vals[k * 64]), float(vals[(k + 1) * 64])
+    return 0.5 * (lo + hi) * 8 * 128
 
 
 THRESH = thresh_after(FLIP)
