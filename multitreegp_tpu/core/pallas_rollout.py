@@ -1673,3 +1673,389 @@ def _adaptive_fitness_impl(trees, x0, ts, ys, fset, rtol, atol, max_steps,
         # benchmarking
         return mse, alive_last, steps.max(axis=(1, 2))
     return mse, alive_last
+
+
+# ----------------------------------------------- adaptive (PID), GLOBAL budget
+#
+# The reference's diffrax configuration budgets the WHOLE SOLVE, not each
+# save interval: ``diffeqsolve(..., max_steps=500)`` with 100 save points
+# (``SR_evaluator.py:76-79``) — a lane fails when its TOTAL attempted steps
+# exceed 500. The per-interval kernel above spends (T-1) * max_steps
+# predicated spins per tile (the r4 Mosaic probe showed data-dependent
+# control flow never skips, `tools/mosaic_branch_probe.py`), i.e. 1568 at
+# the bench shape where the reference's own budget implies ~500. This twin
+# restructures the solve as ONE loop over the global budget with a per-lane
+# save INDEX: lanes cross save boundaries asynchronously, the full
+# ground-truth block sits resident in VMEM, and the spin count is the
+# reference's budget by construction (~3x fewer predicated spins).
+#
+# Per-lane trajectories are BIT-IDENTICAL to the per-interval kernel
+# whenever neither budget binds (same seed dt, same controller clamps with
+# the lane's current interval span, save times snapped to the SMEM ts
+# values); the budgets differ only in WHICH lanes they kill: per-interval
+# kills a lane that spends > max_steps inside one interval, global kills
+# when the running total crosses the budget (diffrax semantics).
+# Engages on CONCRETE ts grids (the ts ladder is indexed per lane).
+
+
+def _make_adaptive_global_kernel(fset: FunctionSet, n: int, m: int,
+                                 t_steps: int, budget: int, rtol: float,
+                                 atol: float, safety: float, method: str,
+                                 sub: int, shallow: bool):
+    from ..models.integrators import _BS_A, _BS_B_LOW, _DP_A, _DP_B4, _DP_B5
+
+    import os
+
+    if method not in ("bosh3", "dopri5"):
+        raise ValueError(f"unknown adaptive method: {method!r}")
+    err_exponent = -1.0 / 3.0 if method == "bosh3" else -0.2
+    fsal = (os.environ.get("MTGP_ADAPTIVE_NO_FSAL") != "1"
+            and os.environ.get("MTGP_ADAPTIVE_FSAL", "1") == "1")
+    if shallow:
+        eval_shallow = _make_sr_tree_eval_when(fset, n, sub)
+    else:
+        eval_deep = _make_deep_tree_eval(fset, n, sub)
+
+    def kernel(*refs):
+        if shallow:
+            (ops_ref, c2_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
+             start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
+             t_scr, dt_scr, idx_scr, tree_scr, vals_scr, k1_scr) = refs
+        else:
+            (ops_ref, const_ref, x0_ref, ts_ref, ys_ref, depth_ref,
+             start_ref, err_ref, alive_ref, steps_ref, x_ref, live_ref,
+             t_scr, dt_scr, idx_scr, tree_scr, planes_scr, sp_scr,
+             top_scr, ysel_scr, k1_scr) = refs
+
+        if shallow:
+            def drift(x_tiles):
+                def body(mi, _):
+                    eval_shallow(
+                        _RefRows(ops_ref, mi), _RefRows(c2_ref, mi),
+                        _RefRows(const_ref, mi), x_tiles,
+                        vals_scr, start_ref[0, mi, 0],
+                    )
+                    tree_scr[mi] = vals_scr[n - 1]
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+        else:
+            def drift(x_tiles):
+                def body(mi, _):
+                    eval_deep(
+                        _RefRows(ops_ref, mi), _RefRows(const_ref, mi),
+                        x_tiles, planes_scr, sp_scr, top_scr, ysel_scr,
+                        start=start_ref[0, mi, 0],
+                        depth_cap=lambda i, mi=mi: depth_ref[0, mi, i],
+                    )
+                    tree_scr[mi] = ysel_scr[...]
+                    return 0
+
+                jax.lax.fori_loop(0, m, body, 0)
+                return [tree_scr[mi] for mi in range(m)]
+
+        def finite_tiles(x_tiles):
+            good = None
+            for xt in x_tiles:
+                g = jnp.isfinite(xt) & (jnp.abs(xt) < DIVERGENCE_BOUND)
+                good = g if good is None else (good & g)
+            return good
+
+        def sq_err_at(k):
+            e = jnp.zeros((sub, LANE), jnp.float32)
+            for mi in range(m):
+                dlt = x_ref[mi] - ys_ref[k, mi, 0]
+                e = e + dlt * dlt
+            return e
+
+        def rk_step(x, dt_c):
+            # expression-for-expression the per-interval kernel's rk_step
+            if method == "bosh3":
+                k1 = ([k1_scr[i] for i in range(m)] if fsal else drift(x))
+                k2 = drift([x[i] + 0.5 * dt_c * k1[i] for i in range(m)])
+                k3 = drift([x[i] + 0.75 * dt_c * k2[i] for i in range(m)])
+                x_hi = [
+                    x[i] + dt_c * (_BS_A[2][0] * k1[i] + _BS_A[2][1] * k2[i]
+                                   + _BS_A[2][2] * k3[i])
+                    for i in range(m)
+                ]
+                k4 = drift(x_hi)
+                x_lo = [
+                    x[i] + dt_c * (_BS_B_LOW[0] * k1[i] + _BS_B_LOW[1] * k2[i]
+                                   + _BS_B_LOW[2] * k3[i] + _BS_B_LOW[3] * k4[i])
+                    for i in range(m)
+                ]
+                k_last = k4
+            else:
+                ks = [[k1_scr[i] for i in range(m)] if fsal else drift(x)]
+                for ai in _DP_A:
+                    xi = [
+                        x[i] + dt_c * sum(a * k[i] for a, k in zip(ai, ks))
+                        for i in range(m)
+                    ]
+                    ks.append(drift(xi))
+                x_hi = [
+                    x[i] + dt_c * sum(b * k[i] for b, k in zip(_DP_B5, ks))
+                    for i in range(m)
+                ]
+                x_lo = [
+                    x[i] + dt_c * sum(b * k[i] for b, k in zip(_DP_B4, ks))
+                    for i in range(m)
+                ]
+                k_last = ks[6]
+            acc = jnp.zeros((sub, LANE), jnp.float32)
+            for i in range(m):
+                scale = atol + rtol * jnp.maximum(jnp.abs(x[i]), jnp.abs(x_hi[i]))
+                r = (x_hi[i] - x_lo[i]) / scale
+                acc = acc + r * r
+            err_norm = jnp.sqrt(acc * (1.0 / m))
+            return x_hi, err_norm, k_last
+
+        def ts_ladder(idx_t, lo):
+            """ts[idx_t] per lane via a select ladder (idx_t clamped by
+            construction to [lo, T-1]); arange ts values are NOT multiples
+            of dt in f32, so the SMEM values are authoritative."""
+            v = jnp.zeros((sub, LANE), jnp.float32) + ts_ref[lo]
+            for k in range(lo + 1, t_steps):
+                v = jnp.where(idx_t == k, ts_ref[k], v)
+            return v
+
+        x = [x0_ref[mi, 0] for mi in range(m)]
+        live_ref[...] = finite_tiles(x).astype(jnp.float32)
+        for mi in range(m):
+            x_ref[mi] = x[mi]
+        if fsal and t_steps > 1:
+            k1 = drift(x)
+            for mi in range(m):
+                k1_scr[mi] = k1[mi]
+        err_ref[0] = sq_err_at(0)
+        steps_ref[0] = jnp.zeros((sub, LANE), jnp.float32)
+        zero = jnp.zeros((sub, LANE), jnp.float32)
+        izero = jnp.zeros((sub, LANE), jnp.int32)
+        t_scr[...] = zero + ts_ref[0]
+        idx_scr[...] = izero
+        dt_scr[...] = zero + (
+            (ts_ref[1] - ts_ref[0]) / 4.0 if t_steps > 1 else 1.0
+        )
+
+        last = t_steps - 1
+
+        def spin(_s, _c):
+            idx = idx_scr[...]
+            not_done = idx < last
+            alive = live_ref[...] > 0.5
+            active = alive & not_done
+            t = t_scr[...]
+            dt = dt_scr[...]
+            idx0 = jnp.minimum(idx, last - 1)     # current interval start
+            t0l = ts_ladder(idx0, 0)
+            t1l = ts_ladder(idx0 + 1, 1)
+            span = t1l - t0l
+            x = [x_ref[mi] for mi in range(m)]
+            dt_c = jnp.minimum(dt, t1l - t)
+            x_hi, err, k_last = rk_step(x, dt_c)
+            ok = finite_tiles(x_hi) & jnp.isfinite(err)
+            accept = active & ok & (err <= 1.0)
+            for mi in range(m):
+                x_ref[mi] = jnp.where(accept, x_hi[mi], x[mi])
+            if fsal:
+                for mi in range(m):
+                    k1_scr[mi] = jnp.where(accept, k_last[mi], k1_scr[mi])
+            # the per-interval kernel's ACTIVE test is t < t1 - 1e-12: a
+            # lane stays in its interval (micro-stepping dt_c = t1 - t)
+            # until t passes that threshold, so crossing uses the same
+            # constant — NOT the looser end-of-interval reached test
+            t_new = jnp.where(accept, t + dt_c, t)
+            crossed = accept & (t_new >= t1l - 1e-12)
+            # snap to the save time: the per-interval kernel re-reads ts at
+            # every interval entry, so exactness requires the same value
+            t_scr[...] = jnp.where(crossed, t1l, t_new)
+            factor = jnp.where(
+                jnp.isfinite(err) & (err > 0.0),
+                jnp.clip(safety * err ** err_exponent, 0.2, 5.0),
+                jnp.where(ok, 5.0, 0.2),
+            )
+            dt_n = jnp.where(
+                active, jnp.clip(dt_c * factor, span * 1e-3, span), dt
+            )
+            # interval-entry clamp with the NEW interval's span (the
+            # per-interval kernel applies it at the top of each interval)
+            idx_n = idx + crossed.astype(jnp.int32)
+            nxt0 = jnp.minimum(idx_n, last - 1)
+            n_t0 = ts_ladder(nxt0, 0)
+            n_t1 = ts_ladder(nxt0 + 1, 1)
+            n_span = n_t1 - n_t0
+            dt_scr[...] = jnp.where(
+                crossed & (idx_n < last),
+                jnp.clip(dt_n, n_span * 1e-3, n_span), dt_n,
+            )
+            live_ref[...] = (
+                alive & (ok | ~active | (dt_c > span * 1.5e-3))
+            ).astype(jnp.float32)
+            steps_ref[0] = steps_ref[0] + active.astype(jnp.float32)
+            # save-point MSE accumulation for lanes that just crossed
+            acc = err_ref[0]
+            for k in range(1, t_steps):
+                sel = crossed & (idx_n == k)
+                acc = jnp.where(sel, acc + sq_err_at(k), acc)
+            err_ref[0] = acc
+            idx_scr[...] = idx_n
+            return 0
+
+        jax.lax.fori_loop(0, budget, spin, 0, unroll=False)
+        # diffrax max_steps semantics: a lane that has not produced every
+        # save when the budget ends is a failed solve
+        alive_ref[0] = (
+            (live_ref[...] > 0.5) & (idx_scr[...] >= last)
+        ).astype(jnp.float32)
+
+    return kernel
+
+
+def rollout_sr_fitness_adaptive_global_pallas(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    budget: int = 500,
+    method: str = "dopri5",
+    safety: float = 0.9,
+    return_steps: bool = False,
+):
+    """Global-budget twin of :func:`rollout_sr_fitness_adaptive_pallas`:
+    ``diffeqsolve(..., max_steps=budget)`` semantics (`SR_evaluator.py:76-79`
+    budgets the whole solve at 500, not each interval). Returns
+    ``(mse (P, B), alive (P, B))`` (+ per-tile attempted steps with
+    ``return_steps``). Differentiable via the same unfused recompute as the
+    per-interval kernel. Requires a CONCRETE ``ts``."""
+    import numpy as np
+
+    p, b, d = x0.shape
+    m = trees.batch_shape[-1]
+    n = trees.max_nodes
+    t_steps = int(ts.shape[0])
+    sub = SUBLANES_DEEP
+
+    def impl(trees, x0):
+        trees_s, order, inv_order = size_sort_candidates(trees, fset.slots)
+        x0_s = x0[order]
+        (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
+            trees_s, x0_s, sub
+        )
+        y = jnp.moveaxis(jnp.asarray(ys, jnp.float32), 1, 0)  # (T, B, d)
+        ys_l = _lane_rows(y, p, b, lanes, pad, grid, sub)
+        row_trips, start_rows = deep_tile_scalars(
+            trees_s, fset.slots, b, sub * LANE, grid, lp
+        )
+
+        import os as _os
+
+        _ev = _os.environ.get("MTGP_ADAPTIVE_EVAL", "auto")
+        from .pallas_interpreter import UNROLL_MAX_NODES as _UNROLL_N
+
+        shallow = (_ev == "ladder" or (_ev == "auto" and n <= _UNROLL_N))
+
+        kernel = _make_adaptive_global_kernel(
+            fset, n, m, t_steps, budget, rtol, atol, safety, method, sub,
+            shallow,
+        )
+        tree_spec = pl.BlockSpec(
+            (m, n, 1, sub, LANE), lambda i: (0, 0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        lane_out = pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        smem_scalar = pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
+        smem_rows = pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        eval_scratch = (
+            [pltpu.VMEM((n, sub, LANE), jnp.float32)]
+            if shallow else
+            [pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),
+             pltpu.VMEM((sub, LANE), jnp.int32),
+             pltpu.VMEM((sub, LANE), jnp.float32),
+             pltpu.VMEM((sub, LANE), jnp.float32)]
+        )
+        err, alive, steps = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=(
+                [tree_spec] + ([tree_spec] if shallow else []) + [tree_spec]
+                + [
+                    pl.BlockSpec((d, 1, sub, LANE), lambda i: (0, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # ts (T,)
+                    pl.BlockSpec((t_steps, d, 1, sub, LANE),
+                                 lambda i: (0, 0, i, 0, 0),
+                                 memory_space=pltpu.VMEM),  # ys resident
+                    smem_rows,
+                    smem_scalar,
+                ]
+            ),
+            out_specs=(lane_out, lane_out, lane_out),
+            out_shape=(
+                jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((m, sub, LANE), jnp.float32),  # x_ref
+                pltpu.VMEM((sub, LANE), jnp.float32),  # live_ref
+                pltpu.VMEM((sub, LANE), jnp.float32),  # t_scr
+                pltpu.VMEM((sub, LANE), jnp.float32),  # dt_scr
+                pltpu.VMEM((sub, LANE), jnp.int32),  # idx_scr
+                pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
+            ] + eval_scratch + [
+                pltpu.VMEM((m, sub, LANE), jnp.float32),  # k1_scr
+            ],
+        )(*([ops_l] + ([c2_l] if shallow else []) + [const_l, x0_l,
+            jnp.asarray(ts, jnp.float32), ys_l, row_trips, start_rows]))
+        mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)[inv_order]
+        alive_l = (alive.reshape(lp)[:lanes].reshape(p, b) > 0.5)[inv_order]
+        return mse, alive_l, steps.max(axis=(1, 2))
+
+    @jax.custom_vjp
+    def run(ops, c1, c2, const, x0):
+        mse, alive, _ = impl(TreeTensors(ops, c1, c2, const), x0)
+        return mse, alive
+
+    def fwd(ops, c1, c2, const, x0):
+        return run(ops, c1, c2, const, x0), (ops, c1, c2, const, x0)
+
+    def bwd(res, g):
+        ops, c1, c2, const, x0 = res
+        g_mse, _g_alive = g
+
+        def unfused(c, x0_):
+            from ..models.integrators import integrate_adaptive
+            from .interpreter import evaluate_trees
+
+            t = TreeTensors(ops, c1, c2, c)[:, None]
+
+            def drift(tt, x):
+                return evaluate_trees(t, x[:, :, None, :], fset, impl="pallas")
+
+            xs, _ = integrate_adaptive(
+                drift, x0_, ts, rtol=rtol, atol=atol,
+                max_steps_per_interval=max(budget // max(t_steps - 1, 1), 4),
+                method=method, safety=safety,
+            )
+            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
+            return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
+
+        _, vjp = jax.vjp(unfused, const, x0)
+        dconst, dx0 = vjp(g_mse)
+        zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return zero(ops), zero(c1), zero(c2), dconst, dx0
+
+    run.defvjp(fwd, bwd)
+    if return_steps:
+        _, _, steps = impl(trees, x0)
+        mse, alive = run(trees.ops, trees.c1, trees.c2, trees.const, x0)
+        return mse, alive, steps
+    return run(trees.ops, trees.c1, trees.c2, trees.const, x0)

@@ -97,6 +97,11 @@ SLOW_TESTS = {
     # r4 additions
     "test_adaptive_fsal_carry_bit_exact",
     "test_adaptive_shallow_ladder_matches_stack",
+    # top of the r4 fast-tier duration profile (31/16/15 s of the 358 s
+    # contended run) — full coverage stays in the merge-gate tier
+    "test_sample_tree_tile_valid_and_law",
+    "test_sharded_eval_equals_unsharded",
+    "test_extract_and_splice_match",
 }
 
 import pytest  # noqa: E402

@@ -284,6 +284,59 @@ def test_adaptive_fitness_kernel_matches_general(adaptive_method):
     assert dd.max() < 1e-4, dd.max()
 
 
+@pytest.mark.parametrize("adaptive_method", ["bosh3", "dopri5"])
+def test_adaptive_global_budget_matches_interval(adaptive_method):
+    """The global-budget adaptive kernel (diffrax max_steps semantics: one
+    budget for the whole solve, lanes cross saves asynchronously) must be
+    BIT-identical to the per-interval kernel on every lane whose budgets
+    never bind: same seed dt, same controller expressions with the lane's
+    current interval span, save times snapped to the SMEM ts values. Dead
+    lanes may differ in mse (the per-interval kernel keeps accumulating the
+    frozen state's error; both mask them via alive) but not in aliveness."""
+    from multitreegp_tpu.core import pallas_rollout as prl
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.2, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    x0s, _, ys, _keys = data
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(5), 4)
+    x0 = jnp.broadcast_to(x0s[None], (4, 2, 2))
+    per_interval = 32  # generous: no sound lane exhausts it
+
+    with pltpu.force_tpu_interpret_mode():
+        mse_i, alive_i = prl.rollout_sr_fitness_adaptive_pallas(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5,
+            max_steps=per_interval, method=adaptive_method,
+        )
+        mse_g, alive_g = prl.rollout_sr_fitness_adaptive_global_pallas(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5,
+            budget=per_interval * (ts.shape[0] - 1), method=adaptive_method,
+        )
+    np.testing.assert_array_equal(np.asarray(alive_g), np.asarray(alive_i))
+    a = np.asarray(alive_i)
+    np.testing.assert_array_equal(np.asarray(mse_g)[a], np.asarray(mse_i)[a])
+
+    # budget-binding: with a tiny global budget every surviving lane must
+    # have produced all its saves; lanes that ran out are dead
+    with pltpu.force_tpu_interpret_mode():
+        mse_t, alive_t = prl.rollout_sr_fitness_adaptive_global_pallas(
+            pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5,
+            budget=6, method=adaptive_method,
+        )
+    at = np.asarray(alive_t)
+    assert at.sum() < a.sum()  # the budget genuinely binds for some lanes
+    assert np.isfinite(np.asarray(mse_t)[at]).all()
+
+
 def test_adaptive_shallow_ladder_matches_stack(monkeypatch):
     """The adaptive kernel's two drift evals — the static-index pl.when
     ladder (shallow default at N <= UNROLL_MAX_NODES, r4) and the rolled
