@@ -154,9 +154,31 @@ def main(
     chain_k = 10 if interpreter == "auto" else 1
 
     if chain_k > 1:
-        def chained(const, _):
-            fit = evaluator.evaluate_population(pop._replace(const=const), data)
-            return const + 1e-30 * jnp.min(fit), fit
+        # prepared chain (r5): the size sort + lane layout are structure-
+        # dependent and loop-invariant across the chain — prepare once, carry
+        # the SORTED constants (sort+layout was 57% of the per-eval wall at
+        # pop 4096, results_r4/pod_profile.txt). MTGP_BENCH_NO_PREP=1 A/Bs
+        # the old per-eval-layout chain.
+        prepared = (
+            evaluator.prepare_chained(pop, data)
+            if method != "adaptive"
+            and os.environ.get("MTGP_BENCH_NO_PREP") != "1"
+            else None
+        )
+        if prepared is not None:
+            step, const0 = prepared
+
+            def chained(const, _):
+                fit = step(const)
+                return const + 1e-30 * jnp.min(fit), fit
+        else:
+            const0 = pop.const
+
+            def chained(const, _):
+                fit = evaluator.evaluate_population(
+                    pop._replace(const=const), data
+                )
+                return const + 1e-30 * jnp.min(fit), fit
 
         # the digest reduce (one scalar) is fetched with float(): a bogus 5e15
         # pod reading in r2 showed block_until_ready returning early over the
@@ -165,8 +187,8 @@ def main(
         run_k = jax.jit(
             lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
         )
-        float(run_k(pop.const))  # compile
-        timed = lambda: float(run_k(pop.const))
+        float(run_k(const0))  # compile
+        timed = lambda: float(run_k(const0))
     else:
         timed = lambda: jax.block_until_ready(eval_fn(pop))
     times = []
@@ -184,18 +206,41 @@ def main(
         # executes a step while any lane is active, so this is what the
         # chip computed) x drift calls per step x trees x nodes x tile lanes
         from multitreegp_tpu.core.pallas_rollout import (
-            SUBLANES_DEEP, adaptive_solver_stats,
+            SUBLANES_DEEP, adaptive_global_available, adaptive_solver_stats,
+            rollout_sr_fitness_adaptive_global_pallas,
         )
         from multitreegp_tpu.models.integrators import adaptive_step_budget
 
         x0s, _, ys_t, _ = data
         d = x0s.shape[-1]
-        _, _, steps = jax.block_until_ready(adaptive_solver_stats(
-            pop, jnp.broadcast_to(x0s[None], (population_size, batch_size, d)),
-            ts, ys_t, fset, rtol=evaluator.rtol,
-            atol=evaluator.atol, max_steps=adaptive_step_budget(substeps),
-            method=evaluator.adaptive_method,
-        ))
+        per_interval = adaptive_step_budget(substeps)
+        # count steps from the kernel the evaluator actually dispatched
+        # (global-budget default since r5; MTGP_ADAPTIVE_GLOBAL=0 restores
+        # the per-interval kernel)
+        use_global = (
+            os.environ.get("MTGP_ADAPTIVE_GLOBAL", "auto") != "0"
+            and adaptive_global_available(fset, pop, d, int(ts.shape[0]))
+        )
+        if use_global:
+            _, _, steps = jax.block_until_ready(
+                rollout_sr_fitness_adaptive_global_pallas(
+                    pop,
+                    jnp.broadcast_to(
+                        x0s[None], (population_size, batch_size, d)
+                    ),
+                    ts, ys_t, fset, rtol=evaluator.rtol, atol=evaluator.atol,
+                    budget=per_interval * (int(ts.shape[0]) - 1),
+                    method=evaluator.adaptive_method, return_steps=True,
+                )
+            )
+        else:
+            _, _, steps = jax.block_until_ready(adaptive_solver_stats(
+                pop,
+                jnp.broadcast_to(x0s[None], (population_size, batch_size, d)),
+                ts, ys_t, fset, rtol=evaluator.rtol,
+                atol=evaluator.atol, max_steps=per_interval,
+                method=evaluator.adaptive_method,
+            ))
         # FSAL carry (default on): the kernel computes 6 drifts per dopri5
         # attempt / 3 per bosh3 (the carried k1 replaces the first stage);
         # count what the chip actually executes
@@ -433,18 +478,34 @@ def main_evolved(
 
     chain_k = 10
 
-    def chained(const, _):
-        fit = evaluator.evaluate_population(pop._replace(const=const), data)
-        return const + 1e-30 * jnp.min(fit), fit
+    # prepared chain (r5): hoist sort+layout out of the chained scan — see
+    # main(); the evolved configs are exactly where the r4 study measured
+    # sort+layout at 57% of the eval wall. MTGP_BENCH_NO_PREP=1 A/Bs.
+    prepared = (
+        evaluator.prepare_chained(pop, data)
+        if os.environ.get("MTGP_BENCH_NO_PREP") != "1" else None
+    )
+    if prepared is not None:
+        step, const0 = prepared
+
+        def chained(const, _):
+            fit = step(const)
+            return const + 1e-30 * jnp.min(fit), fit
+    else:
+        const0 = pop.const
+
+        def chained(const, _):
+            fit = evaluator.evaluate_population(pop._replace(const=const), data)
+            return const + 1e-30 * jnp.min(fit), fit
 
     run_k = jax.jit(
         lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
     )
-    float(run_k(pop.const))  # compile
+    float(run_k(const0))  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run_k(pop.const))
+        float(run_k(const0))
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
     print(f"# raw eval times (s, {chain_k} chained each): "
@@ -481,8 +542,10 @@ CONFIGS = {
     "ladder": {"interpreter": "ladder"},
     "pallas": {"interpreter": "pallas"},
     # the notebooks' actual solver configuration (Dopri5 + PID), fused:
-    # rollout_sr_fitness_adaptive_pallas
+    # global-budget kernel (diffrax max_steps semantics) by default;
+    # "adaptive_interval" A/Bs the r2-r4 per-interval kernel
     "adaptive": {"method": "adaptive"},
+    "adaptive_interval": {"method": "adaptive"},
 }
 
 # success-line metric name per config (the fail-fast error line must use the
@@ -490,6 +553,7 @@ CONFIGS = {
 _METRIC_BY_CFG = {
     **{cfg: "node_evals_per_sec_per_chip" for cfg in CONFIGS},
     "adaptive": "node_evals_per_sec_per_chip_adaptive",
+    "adaptive_interval": "node_evals_per_sec_per_chip_adaptive",
     "policy": "policy_node_evals_per_sec_per_chip",
     "policy_nb": "policy_node_evals_per_sec_per_chip",
     "gen": "generations_per_sec_pop4096",
@@ -504,6 +568,8 @@ _METRIC_BY_CFG = {
 if __name__ == "__main__":
     wait_for_backend()
     cfg = sys.argv[1] if len(sys.argv) > 1 else "default"
+    if cfg == "adaptive_interval":
+        os.environ["MTGP_ADAPTIVE_GLOBAL"] = "0"
     if cfg == "policy":
         main_policy()
     elif cfg == "policy_nb":

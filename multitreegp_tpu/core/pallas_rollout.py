@@ -896,6 +896,72 @@ def rollout_sr_fitness_pallas(
     return run(trees.ops, trees.c1, trees.c2, trees.const, x0)
 
 
+def prepare_sr_fitness(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    substeps: int = 1,
+    method: str = "rk4",
+    process_noise_rows: Array | None = None,
+    unfused_mse=None,
+):
+    """Split prepare/run API for CHAINED evaluations of one population
+    structure (steady-state benches, constant-optimisation refinement):
+
+    ``run, const0 = prepare_sr_fitness(trees, ...)`` hoists the size sort,
+    lane layout, SMEM scalars and kernel build (57% of the per-eval wall at
+    pop 4096, results_r4/pod_profile.txt) out of the evaluation;
+    ``run(const_sorted) -> (mse (P, B), alive (P, B))`` — in ORIGINAL
+    candidate order — pays only the constant-stream layout + the kernel
+    launch. ``const0 = trees.const`` in the prepared (sorted) order: carry
+    it through the chain instead of re-permuting per step (XLA's gather is
+    pathological inside scans on TPU). Differentiable w.r.t. the sorted
+    constants via the same unfused recompute as
+    :func:`rollout_sr_fitness_pallas`. Semantics and bit-pattern identical
+    to calling the one-shot API with ``trees._replace(const=
+    const_sorted[inv_order])``."""
+    run_const, order, inv_order = _fitness_prepare(
+        trees, x0, ts, ys, fset, substeps, method, process_noise_rows
+    )
+    ops, c1, c2 = trees.ops, trees.c1, trees.c2
+    const0 = trees.const if order is None else trees.const[order]
+
+    @jax.custom_vjp
+    def run(const_s):
+        return run_const(const_s)
+
+    def fwd(const_s):
+        return run(const_s), const_s
+
+    def bwd(const_s, g):
+        g_mse, _g_alive = g
+
+        def unfused(c_s):
+            c = c_s if inv_order is None else c_s[inv_order]
+            if unfused_mse is not None:
+                return unfused_mse(ops, c1, c2, c, x0)
+            from ..models.integrators import integrate
+            from .interpreter import evaluate_trees
+
+            t = TreeTensors(ops, c1, c2, c)[:, None]
+
+            def drift(tt, x):
+                return evaluate_trees(t, x[:, :, None, :], fset, impl="pallas")
+
+            xs, _ = integrate(drift, x0, ts, method=method, substeps=substeps)
+            err = xs - jnp.transpose(ys, (1, 0, 2))[:, None, :, :]
+            return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
+
+        _, vjp = jax.vjp(unfused, const_s)
+        (dconst_s,) = vjp(g_mse)
+        return (dconst_s,)
+
+    run.defvjp(fwd, bwd)
+    return run, const0
+
+
 def _lane_layout(trees: TreeTensors, x0: Array, sub: int):
     """Shared lane-layout prep for the SR rollout kernels.
 
@@ -944,7 +1010,7 @@ def _lane_rows(y: Array, p: int, b: int, lanes: int, pad: int, grid: int,
     return y.reshape(t_steps, rows, grid, sub, LANE)
 
 
-def _fitness_impl(
+def _fitness_prepare(
     trees: TreeTensors,
     x0: Array,
     ts: Array,
@@ -954,6 +1020,24 @@ def _fitness_impl(
     method: str,
     process_noise_rows: Array | None = None,
 ):
+    """Structure-dependent half of the fused SR fitness evaluation: size
+    sort, lane layout of the op/child streams, ground-truth rows, per-tile
+    SMEM scalars, kernel construction — everything that does NOT depend on
+    the constant values. Returns ``(run_const, order, inv_order)`` where
+    ``run_const(const_sorted (P, m, N)) -> (mse (P, B), alive (P, B))`` in
+    ORIGINAL candidate order lays out the constants and launches.
+
+    Motivation (r4 pod profile, results_r4/pod_profile.txt): sort+layout is
+    5.28 ms of the 9.27 ms/eval at pop 4096 — 57% of the wall — and it is
+    loop-invariant across chained same-structure evaluations (bench steady
+    state, const-opt refinement steps). Hoisting it out of the chain's
+    ``lax.scan`` makes it a scan constant XLA computes once; the per-eval
+    residue is one constant-stream layout + the kernel launch. The XLA
+    ``gather`` used by the size-sort permutation is also pathological
+    inside scans on TPU (CLAUDE.md), which is why callers carry the
+    SORTED constants instead of re-permuting per step."""
+    import os
+
     p, b, d = x0.shape
     m = trees.batch_shape[-1]
     n = trees.max_nodes
@@ -970,8 +1054,6 @@ def _fitness_impl(
     # dynamic row indexing costs; the unrolled ladder stays the shallow-N
     # default here (the POLICY kernel A/B went the other way, see
     # pallas_policy.py — m trees per step make the skip win 2.3x).
-    import os
-
     deep = n > UNROLL_MAX_NODES or os.environ.get("MTGP_SR_FORCE_DEEP") == "1"
     # shallow default: pl.when row-gating on the unrolled ladder (static
     # selects + static scratch addressing, padding-prefix rows branched
@@ -980,7 +1062,7 @@ def _fitness_impl(
     sub = SUBLANES_DEEP if deep else SUBLANES
     tile = sub * LANE
 
-    inv_order = None
+    order = inv_order = None
     if deep or skip:
         # size-sorted lanes: the deep kernel's row loop (and the shallow
         # skip kernel's pl.when gate) starts at the TILE's first used row
@@ -989,7 +1071,7 @@ def _fitness_impl(
         trees, order, inv_order = size_sort_candidates(trees, fset.slots)
         x0 = x0[order]
 
-    (ops_l, c2_l, const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
+    (ops_l, c2_l, _const_l, x0_l), (lanes, pad, lp, grid) = _lane_layout(
         trees, x0, sub
     )
 
@@ -1038,7 +1120,8 @@ def _fitness_impl(
                                  memory_space=pltpu.SMEM)
         in_specs = [tree_spec, tree_spec, x0_spec, ys_spec,
                     smem_rows, smem_scalar]
-        operands = [ops_l, const_l, x0_l, ys_l, row_trips, start_rows]
+        # const_l spliced at index 1 by run_const
+        pre, post = [ops_l], [x0_l, ys_l, row_trips, start_rows]
         scratch += [
             pltpu.VMEM((m, sub, LANE), jnp.float32),  # tree_scr
             pltpu.VMEM((stack_planes(n), sub, LANE), jnp.float32),  # planes
@@ -1050,34 +1133,61 @@ def _fitness_impl(
         start_rows = tile_start_rows(trees, b, tile, grid, lp)
         in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec,
                     smem_scalar]
-        operands = [ops_l, c2_l, const_l, x0_l, ys_l, start_rows]
+        pre, post = [ops_l, c2_l], [x0_l, ys_l, start_rows]
         if roll_trees:
             scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]  # tree_scr
         scratch += [pltpu.VMEM((n, sub, LANE), jnp.float32)]  # vals planes
     else:
         in_specs = [tree_spec, tree_spec, tree_spec, x0_spec, ys_spec]
-        operands = [ops_l, c2_l, const_l, x0_l, ys_l]
+        pre, post = [ops_l, c2_l], [x0_l, ys_l]
         if roll_trees:
             scratch += [pltpu.VMEM((m, sub, LANE), jnp.float32)]
 
-    err, alive = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=in_specs,
-        out_specs=(lane_out, lane_out),
-        out_shape=(
-            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
-        ),
-        scratch_shapes=scratch,
-    )(*operands)
+    def run_const(const_sorted):
+        # constant-stream layout — the ONLY structure-independent operand;
+        # must match _lane_layout's prep_tree bit-for-bit
+        xt = jnp.moveaxis(const_sorted, 0, -1)  # (m, N, P)
+        xt = jnp.broadcast_to(xt[..., None], (m, n, p, b)).reshape(m, n, lanes)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad))) if pad else xt
+        const_l = xt.astype(jnp.float32).reshape(m, n, grid, sub, LANE)
 
-    mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
-    alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
-    if inv_order is not None:  # undo the size-sort lane permutation
-        mse = mse[inv_order]
-        alive_last = alive_last[inv_order]
-    return mse, alive_last
+        err, alive = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=(lane_out, lane_out),
+            out_shape=(
+                jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((grid, sub, LANE), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+        )(*(pre + [const_l] + post))
+
+        mse = (err.reshape(lp)[:lanes] / t_steps).reshape(p, b)
+        alive_last = alive.reshape(lp)[:lanes].reshape(p, b) > 0.5
+        if inv_order is not None:  # undo the size-sort lane permutation
+            mse = mse[inv_order]
+            alive_last = alive_last[inv_order]
+        return mse, alive_last
+
+    return run_const, order, inv_order
+
+
+def _fitness_impl(
+    trees: TreeTensors,
+    x0: Array,
+    ts: Array,
+    ys: Array,
+    fset: FunctionSet,
+    substeps: int,
+    method: str,
+    process_noise_rows: Array | None = None,
+):
+    run_const, order, _inv = _fitness_prepare(
+        trees, x0, ts, ys, fset, substeps, method, process_noise_rows
+    )
+    const_s = trees.const if order is None else trees.const[order]
+    return run_const(const_s)
 
 
 def _rollout_impl(
@@ -1379,23 +1489,22 @@ def _make_adaptive_fitness_kernel(fset: FunctionSet, n: int, m: int,
 
             # data-dependent early exit: once every lane of the tile has
             # reached t1 (or died), remaining controller iterations are exact
-            # no-ops (accept=False leaves x/t/dt/live untouched) — skip them.
-            # Typical accepted-step counts are ~4-8 of max_steps=32, so this
-            # is a multi-x win on the adaptive bench, bit-exact by the no-op
-            # argument above.
+            # no-ops (accept=False leaves x/t/dt/live untouched).
             #
-            # lax.while_loop does NOT exit early on hardware regardless of
-            # how the condition is phrased: the r4 adaptive profile showed
-            # wall scaling exactly with max_steps (694 ms at ms32 vs 349 ms
-            # at ms16, all-accept ~= default) while counted trips said
-            # 8.3/interval — Mosaic runs the loop to its static bound with
-            # the body predicated, and a scalar-carry condition measured
-            # bit-identical wall. So the skip uses the mechanism the
-            # padding-prefix machinery already proves hardware honors:
-            # a fori_loop over the budget whose body sits under
-            # ``pl.when(go_scr[0] > 0)`` — once every lane has reached t1
-            # (or died), remaining iterations are a scalar test + branch
-            # skip instead of 6 predicated drift evals.
+            # MEASURED OUTCOME (r4, tools/mosaic_branch_probe.py /
+            # results_r4/mosaic_branch_probe.txt): Mosaic PREDICATES
+            # data-dependent control flow, it never skips — this pl.when
+            # wrapper lands at 0.86x of always-execute (ideal skip would be
+            # 0.12x), and all three alternatives (lax.while_loop, dynamic
+            # fori bounds, predicated fori) measure 0.86-1.0x. The
+            # vector-reduce-written SMEM predicate is lowered to per-spin
+            # predication, so wall still scales with max_steps
+            # (results_r4/adaptive_profile_fixed.txt: 692 ms at ms32 vs
+            # 348 ms at ms16). The wrapper is KEPT for its measured ~14% and
+            # because it is bit-exact by the no-op argument above; the real
+            # fix for the fixed per-spin overhead is structural — fewer
+            # total spins (the global-budget kernel below: one budget-long
+            # loop instead of (T-1)*max_steps predicated spins).
             def w_body(s, _):
                 @pl.when(go_scr[0] > 0)
                 def _():
@@ -1440,6 +1549,24 @@ def adaptive_rollout_available(fset: FunctionSet, trees: TreeTensors,
         and (2 * m * n + stack_planes(n)) <= 2560
         and m == d  # m == state dim (SR semantics)
     )
+
+
+def adaptive_global_available(fset: FunctionSet, trees: TreeTensors, d: int,
+                              t_steps: int) -> bool:
+    """VMEM gate for :func:`rollout_sr_fitness_adaptive_global_pallas` — the
+    per-interval gate plus the global kernel's extra residents: the FULL
+    ground-truth block ``(t_steps, d, 1, sub, LANE)`` (the per-interval twin
+    double-buffers 2 rows of it) and the save-state accounting tiles. Rows
+    are 4 KB (8 sublanes x 128 lanes x f32); budget 10 MB = 2560 rows."""
+    n = trees.max_nodes
+    m = trees.batch_shape[-1]
+    rows = (
+        2 * m * n                      # op + const tree streams
+        + max(n, stack_planes(n))      # eval scratch (ladder or stack)
+        + (t_steps + 1) * d            # resident ys + x0
+        + 8 * m + 16                   # x/tree/k1 scratch + control tiles
+    )
+    return adaptive_rollout_available(fset, trees, d) and rows <= 2560
 
 
 def rollout_sr_fitness_adaptive_pallas(
@@ -1930,11 +2057,29 @@ def rollout_sr_fitness_adaptive_global_pallas(
     ``diffeqsolve(..., max_steps=budget)`` semantics (`SR_evaluator.py:76-79`
     budgets the whole solve at 500, not each interval). Returns
     ``(mse (P, B), alive (P, B))`` (+ per-tile attempted steps with
-    ``return_steps``). Differentiable via the same unfused recompute as the
-    per-interval kernel. Requires a CONCRETE ``ts``."""
+    ``return_steps``, which is NOT differentiable — telemetry only, single
+    launch). Requires a CONCRETE ``ts``.
+
+    Differentiable via unfused ``integrate_adaptive`` recompute with
+    ``max_steps_per_interval = budget // (T-1)`` — a per-interval
+    APPROXIMATION of the forward's global budget: gradients are exact only
+    for lanes whose budgets never bind (the common case; budget-killed lanes
+    are dead and masked out of the fitness anyway).
+
+    VMEM: keeps the whole ground-truth block resident
+    (``(T, d, 1, sub, LANE)`` f32); callers must gate on
+    :func:`adaptive_global_available` — long-horizon grids over the 10 MB
+    row budget raise ``ValueError`` here rather than failing in Mosaic."""
     import numpy as np
 
     p, b, d = x0.shape
+    if not adaptive_global_available(fset, trees, d, int(ts.shape[0])):
+        raise ValueError(
+            "global-budget adaptive kernel over the VMEM row budget "
+            f"(T={int(ts.shape[0])}, d={d}, n={trees.max_nodes}); use "
+            "rollout_sr_fitness_adaptive_pallas (per-interval, double-"
+            "buffered ys) instead"
+        )
     m = trees.batch_shape[-1]
     n = trees.max_nodes
     t_steps = int(ts.shape[0])
@@ -2055,7 +2200,7 @@ def rollout_sr_fitness_adaptive_global_pallas(
 
     run.defvjp(fwd, bwd)
     if return_steps:
-        _, _, steps = impl(trees, x0)
-        mse, alive = run(trees.ops, trees.c1, trees.c2, trees.const, x0)
-        return mse, alive, steps
+        # telemetry path: ONE kernel launch, not differentiable (mirrors
+        # adaptive_solver_stats for the per-interval twin)
+        return impl(trees, x0)
     return run(trees.ops, trees.c1, trees.c2, trees.const, x0)

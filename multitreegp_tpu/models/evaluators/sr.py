@@ -57,6 +57,7 @@ class SREvaluator:
         rtol: float = 1e-4,
         atol: float = 1e-6,
         adaptive_method: str = "bosh3",
+        adaptive_budget: int | None = None,
     ) -> None:
         self.fset = fset
         self.max_fitness = max_fitness
@@ -68,6 +69,12 @@ class SREvaluator:
         self.rtol = rtol
         self.atol = atol
         self.adaptive_method = adaptive_method
+        # diffrax whole-solve ``max_steps`` semantics
+        # (``SR_evaluator.py:21,76-79`` budgets the ENTIRE solve at 500, not
+        # each save interval): when set, the fused path uses the
+        # global-budget kernel; the general path approximates with
+        # ``budget // (T-1)`` per interval
+        self.adaptive_budget = adaptive_budget
 
     def evaluate_population(self, population: TreeTensors, data: Tuple) -> Array:
         """population: batch shape (P, m); returns fitness (P,)."""
@@ -86,17 +93,44 @@ class SREvaluator:
         ):
             # the notebooks' adaptive (Dopri5/Bosh3 + PID) configuration,
             # fused: embedded RK pair + per-lane step control + MSE in one
-            # launch (pallas_rollout.rollout_sr_fitness_adaptive_pallas)
+            # launch. Two kernels: the GLOBAL-budget kernel (diffrax
+            # max_steps semantics, one budget-long loop — ~3x fewer
+            # predicated spins than (T-1)*max_steps, the r4 profile's fix)
+            # and the per-interval kernel (traced/non-uniform ts, long
+            # horizons over the resident-ys VMEM gate).
+            import os
+
             from ...core.pallas_rollout import (
+                adaptive_global_available,
                 adaptive_rollout_available,
+                rollout_sr_fitness_adaptive_global_pallas,
                 rollout_sr_fitness_adaptive_pallas,
             )
 
-            if adaptive_rollout_available(self.fset, population, d):
+            per_interval = adaptive_step_budget(self.substeps)
+            use_global = (
+                os.environ.get("MTGP_ADAPTIVE_GLOBAL", "auto") != "0"
+                and not isinstance(ts, jax.core.Tracer)
+                and adaptive_global_available(
+                    self.fset, population, d, int(ts.shape[0])
+                )
+            )
+            if use_global:
+                budget = (
+                    self.adaptive_budget
+                    if self.adaptive_budget is not None
+                    else per_interval * (int(ts.shape[0]) - 1)
+                )
+                mse, alive_last = rollout_sr_fitness_adaptive_global_pallas(
+                    population, jnp.broadcast_to(x0s[None], (p, b, d)),
+                    ts, ys, self.fset, rtol=self.rtol, atol=self.atol,
+                    budget=budget, method=self.adaptive_method,
+                )
+            elif adaptive_rollout_available(self.fset, population, d):
                 mse, alive_last = rollout_sr_fitness_adaptive_pallas(
                     population, jnp.broadcast_to(x0s[None], (p, b, d)),
                     ts, ys, self.fset, rtol=self.rtol, atol=self.atol,
-                    max_steps=adaptive_step_budget(self.substeps),
+                    max_steps=per_interval,
                     method=self.adaptive_method,
                 )
         if mse is None and self.interpreter in ("auto", "pallas") and (
@@ -168,6 +202,84 @@ class SREvaluator:
         fitness = jnp.mean(per_traj, axis=-1)
         return jnp.clip(jnp.nan_to_num(fitness, nan=self.max_fitness), 0.0, self.max_fitness)
 
+    def prepare_chained(self, population: TreeTensors, data: Tuple):
+        """Split prepare/run API for repeated evaluation of ONE population
+        structure with varying constants (steady-state benches, Adam
+        refinement in constant optimisation): hoists the size sort + lane
+        layout — 57% of the per-eval wall at pop 4096
+        (results_r4/pod_profile.txt) — out of the evaluation chain.
+
+        Returns ``(step, const0)`` where ``const0`` is the population's
+        constants in the prepared (sorted) order and ``step(const_sorted)
+        -> fitness (P,)`` matches ``evaluate_population`` bit-for-bit on
+        ``population._replace(const=...)``; or ``None`` when the fused
+        fixed-step fitness kernel does not apply (adaptive method, kernels
+        unavailable, traced ts)."""
+        x0s, ts, ys, keys = data
+        p = population.batch_shape[0]
+        b, d = x0s.shape
+        sde = self.process_noise > 0.0 and keys is not None
+        if self.interpreter not in ("auto", "pallas") or (
+            not sde and self.method not in ("euler", "heun", "rk4")
+        ):
+            return None
+        from ...core.pallas_rollout import (
+            prepare_sr_fitness,
+            rollout_available,
+        )
+
+        if not rollout_available(self.fset, population, d, deep_ok=True):
+            return None
+        kicks = unfused = None
+        if sde:
+            from .noise import make_sr_kick_rows
+
+            kicks = make_sr_kick_rows(
+                self.process_noise, ts, keys, self.substeps, d
+            )
+
+            def unfused(ops, c1, c2, c, x0_):
+                from ...core.interpreter import evaluate_trees
+                from ...core.trees import TreeTensors as TT
+                from ..integrators import integrate_sde
+
+                t = TT(ops, c1, c2, c)[:, None]
+
+                def drift(tt, x):
+                    return evaluate_trees(
+                        t, x[:, :, None, :], self.fset, impl="pallas"
+                    )
+
+                xs, _ = integrate_sde(
+                    drift,
+                    lambda tt, x: jnp.full_like(x, self.process_noise),
+                    x0_, ts, keys, method="euler", substeps=self.substeps,
+                )
+                err = xs - jnp.transpose(ys, (1, 0, 2))[:, None]
+                return jnp.mean(jnp.sum(jnp.square(err), axis=-1), axis=0)
+
+        try:
+            run, const0 = prepare_sr_fitness(
+                population, jnp.broadcast_to(x0s[None], (p, b, d)), ts, ys,
+                self.fset, substeps=self.substeps,
+                method="euler" if sde else self.method,
+                process_noise_rows=kicks, unfused_mse=unfused,
+            )
+        except ValueError:
+            return None  # traced/non-uniform ts
+
+        def step(const_sorted):
+            mse, alive_last = run(const_sorted)
+            bad = ~alive_last | ~jnp.isfinite(mse)
+            per_traj = jnp.where(bad, self.max_fitness, mse)
+            fitness = jnp.mean(per_traj, axis=-1)
+            return jnp.clip(
+                jnp.nan_to_num(fitness, nan=self.max_fitness),
+                0.0, self.max_fitness,
+            )
+
+        return step, const0
+
     def _rollout(self, population: TreeTensors, x0s: Array, ts: Array, keys: Array | None = None):
         p = population.batch_shape[0]
         b, d = x0s.shape
@@ -184,10 +296,17 @@ class SREvaluator:
             )
         if self.method == "adaptive":
             # PI-controlled embedded RK, per-lane step control — the parity
-            # path for the notebooks' Dopri5+PIDController configuration
+            # path for the notebooks' Dopri5+PIDController configuration.
+            # adaptive_budget (whole-solve) is approximated per-interval
+            # here; exact global semantics live in the fused kernel.
+            per_interval = (
+                max(self.adaptive_budget // max(int(ts.shape[0]) - 1, 1), 4)
+                if self.adaptive_budget is not None
+                else adaptive_step_budget(self.substeps)
+            )
             return integrate_adaptive(
                 drift, x0, ts, rtol=self.rtol, atol=self.atol,
-                max_steps_per_interval=adaptive_step_budget(self.substeps),
+                max_steps_per_interval=per_interval,
                 remat=self.remat, method=self.adaptive_method,
             )
         if self.interpreter in ("auto", "pallas"):

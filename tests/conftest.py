@@ -97,6 +97,11 @@ SLOW_TESTS = {
     # r4 additions
     "test_adaptive_fsal_carry_bit_exact",
     "test_adaptive_shallow_ladder_matches_stack",
+    # r5 additions: interpret-mode adaptive/global + deep prepared-API runs
+    # measure ~9 min contended; prepare_chained (shallow, evaluator-level)
+    # stays in the fast tier as the prepared-API smoke
+    "test_adaptive_global_budget_matches_interval",
+    "test_prepared_fitness_bit_matches_oneshot",
     # top of the r4 fast-tier duration profile (31/16/15 s of the 358 s
     # contended run) — full coverage stays in the merge-gate tier
     "test_sample_tree_tile_valid_and_law",

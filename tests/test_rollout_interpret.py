@@ -326,11 +326,14 @@ def test_adaptive_global_budget_matches_interval(adaptive_method):
     np.testing.assert_array_equal(np.asarray(mse_g)[a], np.asarray(mse_i)[a])
 
     # budget-binding: with a tiny global budget every surviving lane must
-    # have produced all its saves; lanes that ran out are dead
+    # have produced all its saves; lanes that ran out are dead. budget=5 is
+    # strictly below the attainable minimum for BOTH methods (5 intervals
+    # need >= 6 attempts even at dopri5's largest accepted steps: dt0=span/4
+    # plus 5x growth gives 2 attempts for interval 1, then 1 per interval).
     with pltpu.force_tpu_interpret_mode():
         mse_t, alive_t = prl.rollout_sr_fitness_adaptive_global_pallas(
             pop, x0, ts, ys, fset, rtol=1e-3, atol=1e-5,
-            budget=6, method=adaptive_method,
+            budget=5, method=adaptive_method,
         )
     at = np.asarray(alive_t)
     assert at.sum() < a.sum()  # the budget genuinely binds for some lanes
@@ -540,3 +543,98 @@ def test_adaptive_probe_sort_exact(monkeypatch):
     # probe accounting includes its own attempted steps: never free work
     intervals = ts.shape[0] - 1
     assert float(np.sum(np.asarray(steps_p))) >= intervals
+
+
+@pytest.mark.parametrize("max_nodes", [16, 128])
+def test_prepared_fitness_bit_matches_oneshot(max_nodes):
+    """prepare_sr_fitness (the r5 split prepare/run API for chained evals)
+    must be BIT-identical to rollout_sr_fitness_pallas on both the shallow
+    unrolled kernel and the deep stack kernel, including after a constant
+    update carried in SORTED order (the chained-eval contract), and its
+    gradient must match the one-shot custom_vjp."""
+    from multitreegp_tpu.core.pallas_rollout import (
+        prepare_sr_fitness,
+        rollout_sr_fitness_pallas,
+    )
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    x0s, _, ys, _ = data
+    depth = 3 if max_nodes == 16 else 6
+    pop = make_population_sampler(fset, depth, max_nodes)(jr.PRNGKey(1), 8)
+    p, b, d = 8, 4, 2
+    x0 = jnp.broadcast_to(x0s[None], (p, b, d))
+
+    with pltpu.force_tpu_interpret_mode():
+        run, const0 = prepare_sr_fitness(pop, x0, ts, ys, fset, substeps=2)
+        mse_p, alive_p = run(const0)
+        mse_1, alive_1 = rollout_sr_fitness_pallas(
+            pop, x0, ts, ys, fset, substeps=2
+        )
+        np.testing.assert_array_equal(np.asarray(mse_p), np.asarray(mse_1))
+        np.testing.assert_array_equal(np.asarray(alive_p), np.asarray(alive_1))
+
+        # chained-step contract: bump the SORTED constants and compare to the
+        # one-shot API on the equivalently-bumped UNSORTED population
+        const1 = const0 + 0.125
+        mse_p2, _ = run(const1)
+        mse_12, _ = rollout_sr_fitness_pallas(
+            pop._replace(const=pop.const + 0.125), x0, ts, ys, fset, substeps=2
+        )
+        np.testing.assert_array_equal(np.asarray(mse_p2), np.asarray(mse_12))
+
+        # gradients agree with the one-shot custom_vjp (both recompute via
+        # the unfused path). Compare in the UNSORTED frame.
+        g_p = jax.grad(lambda c: jnp.sum(run(c)[0]))(const0)
+        g_1 = jax.grad(
+            lambda c: jnp.sum(
+                rollout_sr_fitness_pallas(
+                    pop._replace(const=c), x0, ts, ys, fset, substeps=2
+                )[0]
+            )
+        )(pop.const)
+    from multitreegp_tpu.core.pallas_rollout import _fitness_prepare
+
+    _, order, _ = _fitness_prepare(pop, x0, ts, ys, fset, 2, "rk4")
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_1)[np.asarray(order)], rtol=1e-6
+    )
+
+
+def test_prepare_chained_matches_evaluate_population():
+    """SREvaluator.prepare_chained's step() must equal evaluate_population
+    on the same constants, through the full fitness post-processing."""
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5), ("/", jnp.divide, 2, 0.1)],
+        [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=4, substeps=8)
+    pop = make_population_sampler(fset, 3, 16)(jr.PRNGKey(1), 8)
+    ev = SREvaluator(fset, substeps=2)
+    with pltpu.force_tpu_interpret_mode():
+        prepared = ev.prepare_chained(pop, data)
+        assert prepared is not None
+        step, const0 = prepared
+        fit_chained = step(const0)
+        fit_full = ev.evaluate_population(pop, data)
+    np.testing.assert_array_equal(
+        np.asarray(fit_chained), np.asarray(fit_full)
+    )
