@@ -229,7 +229,7 @@ def main(
                         x0s[None], (population_size, batch_size, d)
                     ),
                     ts, ys_t, fset, rtol=evaluator.rtol, atol=evaluator.atol,
-                    budget=per_interval * (int(ts.shape[0]) - 1),
+                    budget=500,  # the evaluator's default (reference config)
                     method=evaluator.adaptive_method, return_steps=True,
                 )
             )

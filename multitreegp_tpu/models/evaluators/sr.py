@@ -116,10 +116,16 @@ class SREvaluator:
                 )
             )
             if use_global:
+                # default budget = the reference's diffrax config
+                # (max_steps=500, SR_evaluator.py:21). NOT per_interval*(T-1):
+                # Mosaic predicates the budget loop (never skips), so wall =
+                # budget * per-spin cost — the whole point of the global
+                # restructure is the ~3x smaller static spin count, and 500
+                # is also the semantics the reference actually runs.
                 budget = (
                     self.adaptive_budget
                     if self.adaptive_budget is not None
-                    else per_interval * (int(ts.shape[0]) - 1)
+                    else 500
                 )
                 mse, alive_last = rollout_sr_fitness_adaptive_global_pallas(
                     population, jnp.broadcast_to(x0s[None], (p, b, d)),
