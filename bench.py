@@ -290,6 +290,7 @@ def main_policy(
     substeps: int = 4,
     max_nodes: int = 30,
     repeats: int = 5,
+    method: str = "rk4",
 ):
     """Closed-loop control workload (Acrobot swing-up) through the fused
     policy rollout kernel. Default pop=4096 — the north star's literal shape
@@ -314,7 +315,12 @@ def main_policy(
     ts = jnp.arange(0.0, horizon, dt)
     data = generate_control_data(env, jr.PRNGKey(0), ts, batch_size=batch_size)
     pop = make_population_sampler(fset, 4, max_nodes)(jr.PRNGKey(1), population_size)
-    evaluator = StaticPolicyEvaluator(env, fset, substeps=substeps)
+    evaluator = StaticPolicyEvaluator(
+        env, fset, substeps=substeps, method=method,
+        # the StaticPolicy notebook's controller (cell 4):
+        # PIDController(atol=1e-4, rtol=1e-4) + Dopri5
+        rtol=1e-4, atol=1e-4, adaptive_method="dopri5",
+    )
 
     eval_fn = jax.jit(lambda p: evaluator.evaluate_population(p, data))
     fitness = jax.block_until_ready(eval_fn(pop))
@@ -343,21 +349,53 @@ def main_policy(
     print(f"# raw eval times (s, {chain_k} chained each): "
           f"{[f'{t:.4f}' for t in times]}", file=sys.stderr)
 
-    node_evals = node_evals_per_evaluation(
-        population_size=population_size,
-        num_trees=fset.num_trees,
-        max_nodes=max_nodes,
-        batch_size=batch_size,
-        num_save_points=ts.shape[0],
-        substeps=substeps,
-        method=evaluator.method,
-        replay_trees=fset.num_trees,
-    )
+    if method == "adaptive":
+        # EXACT work count from the kernel's per-tile attempted-step
+        # telemetry (same convention as the SR adaptive bench): drifts per
+        # attempt x policy trees x nodes x tile lanes, plus the in-kernel
+        # save-grid control evals (T save points x trees)
+        from multitreegp_tpu.core.pallas_policy import (
+            TILE, rollout_policy_adaptive_pallas,
+        )
+        from multitreegp_tpu.models.integrators import adaptive_step_budget
+
+        x0s, _, targets, _, _, params = data
+        out = jax.block_until_ready(rollout_policy_adaptive_pallas(
+            pop, x0s, ts, targets, params, env, fset,
+            rtol=evaluator.rtol, atol=evaluator.atol,
+            max_steps=adaptive_step_budget(substeps),
+            method=evaluator.adaptive_method, stream_controls=True,
+            return_steps=True,
+        ))
+        steps = out[-1]
+        fsal = (os.environ.get("MTGP_ADAPTIVE_NO_FSAL") != "1"
+                and os.environ.get("MTGP_ADAPTIVE_FSAL", "1") == "1")
+        drifts = ({"dopri5": 6, "bosh3": 3} if fsal
+                  else {"dopri5": 7, "bosh3": 4})[evaluator.adaptive_method]
+        node_evals = (
+            (float(jnp.sum(steps)) * drifts + steps.shape[0] * ts.shape[0])
+            * fset.num_trees * max_nodes * TILE
+        )
+        print(f"# policy adaptive attempted steps: total "
+              f"{float(jnp.sum(steps)):.0f} over {steps.shape[0]} tiles x "
+              f"{ts.shape[0] - 1} intervals", file=sys.stderr)
+    else:
+        node_evals = node_evals_per_evaluation(
+            population_size=population_size,
+            num_trees=fset.num_trees,
+            max_nodes=max_nodes,
+            batch_size=batch_size,
+            num_save_points=ts.shape[0],
+            substeps=substeps,
+            method=evaluator.method,
+            replay_trees=fset.num_trees,
+        )
     rate = node_evals / dt_best
     print(
         json.dumps(
             {
-                "metric": "policy_node_evals_per_sec_per_chip",
+                "metric": "policy_node_evals_per_sec_per_chip"
+                          + ("_adaptive" if method == "adaptive" else ""),
                 "value": rate,
                 "unit": "node-evals/s",
                 "vs_baseline": rate / TARGET,
@@ -555,6 +593,7 @@ _METRIC_BY_CFG = {
     "adaptive": "node_evals_per_sec_per_chip_adaptive",
     "adaptive_interval": "node_evals_per_sec_per_chip_adaptive",
     "policy": "policy_node_evals_per_sec_per_chip",
+    "policy_adaptive": "policy_node_evals_per_sec_per_chip_adaptive",
     "policy_nb": "policy_node_evals_per_sec_per_chip",
     "gen": "generations_per_sec_pop4096",
     "gen_opt": "generations_per_sec_pop4096_constopt",
@@ -572,6 +611,10 @@ if __name__ == "__main__":
         os.environ["MTGP_ADAPTIVE_GLOBAL"] = "0"
     if cfg == "policy":
         main_policy()
+    elif cfg == "policy_adaptive":
+        # the StaticPolicy notebook's ACTUAL solver (Dopri5 + PID 1e-4)
+        # through the fused adaptive policy kernel (r5)
+        main_policy(method="adaptive")
     elif cfg == "policy_nb":
         main_policy(population_size=512)
     elif cfg == "gen":

@@ -100,13 +100,33 @@ class DynamicPolicyEvaluator:
                     return self._rollout_fused(population, data)
                 except ValueError:
                     pass
+        if (
+            self.interpreter in ("auto", "pallas")
+            and self.method == "adaptive"
+            and not (self.stochastic and getattr(env, "process_noise", 0.0) > 0.0)
+            and self.fset.num_variables == n_vars
+        ):
+            # fused Dopri5/Bosh3+PID (noise-free, constant params)
+            from ...core.pallas_policy import policy_adaptive_rollout_available
+
+            if policy_adaptive_rollout_available(
+                env, self.fset, population, data[5]
+            ):
+                try:
+                    return self._rollout_fused(population, data, adaptive=True)
+                except ValueError:
+                    pass
         xas, alive = self._rollout_general(population, data)
         return xas, alive, None
 
-    def _rollout_fused(self, population: TreeTensors, data: Tuple):
+    def _rollout_fused(self, population: TreeTensors, data: Tuple,
+                       adaptive: bool = False):
         import numpy as np
 
-        from ...core.pallas_policy import rollout_policy_pallas
+        from ...core.pallas_policy import (
+            rollout_policy_adaptive_pallas,
+            rollout_policy_pallas,
+        )
         from .noise import make_obs_noise_rows, make_process_noise_rows
 
         x0, ts, targets, pkeys, obs_keys, params = data
@@ -115,7 +135,7 @@ class DynamicPolicyEvaluator:
         method = "euler" if sde else self.method
         noise_rows = (
             make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, method)
-            if env.obs_noise != 0.0
+            if env.obs_noise != 0.0 and not adaptive
             else None
         )
         kick_rows = (
@@ -130,6 +150,14 @@ class DynamicPolicyEvaluator:
         @jax.custom_vjp
         def run(ops, c1, c2, const):
             t = TreeTensors(ops, c1, c2, const)
+            if adaptive:
+                return rollout_policy_adaptive_pallas(
+                    t, x0, ts, targets, params, env, fset,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=adaptive_step_budget(self.substeps),
+                    method=self.adaptive_method,
+                    state_size=self.state_size, stream_controls=True,
+                )
             return rollout_policy_pallas(
                 t, x0, ts, targets, params, env, fset,
                 substeps=self.substeps, method=method,

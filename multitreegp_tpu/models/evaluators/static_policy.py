@@ -94,13 +94,34 @@ class StaticPolicyEvaluator:
                     return self._rollout_fused(population, data)
                 except ValueError:
                     pass  # traced time grid etc. -> general path
+        if (
+            self.interpreter in ("auto", "pallas")
+            and self.method == "adaptive"
+            and not (self.stochastic and getattr(env, "process_noise", 0.0) > 0.0)
+            and self.fset.num_variables == env.n_obs + env.n_targets
+        ):
+            # the notebooks' Dopri5+PID configuration, fused (noise-free,
+            # constant params — policy_adaptive_rollout_available gates)
+            from ...core.pallas_policy import policy_adaptive_rollout_available
+
+            if policy_adaptive_rollout_available(
+                env, self.fset, population, data[5]
+            ):
+                try:
+                    return self._rollout_fused(population, data, adaptive=True)
+                except ValueError:
+                    pass  # traced time grid -> general path
         xs, alive = self._rollout_general(population, data)
         return xs, alive, None
 
-    def _rollout_fused(self, population: TreeTensors, data: Tuple):
+    def _rollout_fused(self, population: TreeTensors, data: Tuple,
+                       adaptive: bool = False):
         import numpy as np
 
-        from ...core.pallas_policy import rollout_policy_pallas
+        from ...core.pallas_policy import (
+            rollout_policy_adaptive_pallas,
+            rollout_policy_pallas,
+        )
         from .noise import make_obs_noise_rows, make_process_noise_rows
 
         x0, ts, targets, pkeys, obs_keys, params = data
@@ -111,7 +132,7 @@ class StaticPolicyEvaluator:
         method = "euler" if sde else self.method
         noise_rows = (
             make_obs_noise_rows(env, ts, params, obs_keys, self.substeps, method)
-            if env.obs_noise != 0.0
+            if env.obs_noise != 0.0 and not adaptive
             else None
         )
         kick_rows = (
@@ -123,6 +144,14 @@ class StaticPolicyEvaluator:
         @jax.custom_vjp
         def run(ops, c1, c2, const):
             t = TreeTensors(ops, c1, c2, const)
+            if adaptive:
+                return rollout_policy_adaptive_pallas(
+                    t, x0, ts, targets, params, env, fset,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=adaptive_step_budget(self.substeps),
+                    method=self.adaptive_method, state_size=0,
+                    stream_controls=True,
+                )
             return rollout_policy_pallas(
                 t, x0, ts, targets, params, env, fset,
                 substeps=self.substeps, method=method, state_size=0,

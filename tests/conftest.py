@@ -102,6 +102,8 @@ SLOW_TESTS = {
     # stays in the fast tier as the prepared-API smoke
     "test_adaptive_global_budget_matches_interval",
     "test_prepared_fitness_bit_matches_oneshot",
+    "test_adaptive_policy_kernel_matches_general",
+    "test_adaptive_policy_kernel_dynamic",
     # top of the r4 fast-tier duration profile (31/16/15 s of the 358 s
     # contended run) — full coverage stays in the merge-gate tier
     "test_sample_tree_tile_valid_and_law",
