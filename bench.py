@@ -155,40 +155,52 @@ def main(
 
     if chain_k > 1:
         # prepared chain (r5): the size sort + lane layout are structure-
-        # dependent and loop-invariant across the chain — prepare once, carry
-        # the SORTED constants (sort+layout was 57% of the per-eval wall at
-        # pop 4096, results_r4/pod_profile.txt). MTGP_BENCH_NO_PREP=1 A/Bs
-        # the old per-eval-layout chain.
-        prepared = (
-            evaluator.prepare_chained(pop, data)
-            if method != "adaptive"
+        # dependent and loop-invariant across the chain. Prepare is traced
+        # INSIDE the jit with the population as an ARGUMENT: closing over the
+        # laid-out operands embeds them as compile-time constants, which blew
+        # the axon remote-compile HTTP body limit at pod scale (HTTP 413);
+        # traced per call, the layout runs once and amortizes over chain_k,
+        # and the scan body carries only the SORTED constants.
+        # MTGP_BENCH_NO_PREP=1 A/Bs the per-eval-layout chain.
+        use_prep = (
+            method != "adaptive"
             and os.environ.get("MTGP_BENCH_NO_PREP") != "1"
-            else None
+            and evaluator.prepare_chained(pop, data) is not None
         )
-        if prepared is not None:
-            step, const0 = prepared
 
-            def chained(const, _):
-                fit = step(const)
-                return const + 1e-30 * jnp.min(fit), fit
+        # the digest reduce (one scalar) is fetched with float(): a bogus 5e15
+        # pod reading in r2 showed block_until_ready returning early over the
+        # axon tunnel on some repeats — a host fetch of a value that DEPENDS
+        # on the whole result cannot return before the work is done
+        if use_prep:
+            def run_all(pop_in):
+                step, const0 = evaluator.prepare_chained(pop_in, data)
+
+                def chained(const, _):
+                    fit = step(const)
+                    return const + 1e-30 * jnp.min(fit), fit
+
+                return jnp.sum(
+                    jax.lax.scan(chained, const0, None, length=chain_k)[1]
+                )
+
+            run_k = jax.jit(run_all)
+            float(run_k(pop))  # compile
+            timed = lambda: float(run_k(pop))
         else:
-            const0 = pop.const
-
             def chained(const, _):
                 fit = evaluator.evaluate_population(
                     pop._replace(const=const), data
                 )
                 return const + 1e-30 * jnp.min(fit), fit
 
-        # the digest reduce (one scalar) is fetched with float(): a bogus 5e15
-        # pod reading in r2 showed block_until_ready returning early over the
-        # axon tunnel on some repeats — a host fetch of a value that DEPENDS
-        # on the whole result cannot return before the work is done
-        run_k = jax.jit(
-            lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
-        )
-        float(run_k(const0))  # compile
-        timed = lambda: float(run_k(const0))
+            run_k = jax.jit(
+                lambda c: jnp.sum(
+                    jax.lax.scan(chained, c, None, length=chain_k)[1]
+                )
+            )
+            float(run_k(pop.const))  # compile
+            timed = lambda: float(run_k(pop.const))
     else:
         timed = lambda: jax.block_until_ready(eval_fn(pop))
     times = []
@@ -517,33 +529,41 @@ def main_evolved(
     chain_k = 10
 
     # prepared chain (r5): hoist sort+layout out of the chained scan — see
-    # main(); the evolved configs are exactly where the r4 study measured
-    # sort+layout at 57% of the eval wall. MTGP_BENCH_NO_PREP=1 A/Bs.
-    prepared = (
-        evaluator.prepare_chained(pop, data)
-        if os.environ.get("MTGP_BENCH_NO_PREP") != "1" else None
+    # main() (prepare traced inside the jit, population as argument, to keep
+    # the laid-out operands out of the compile payload).
+    # MTGP_BENCH_NO_PREP=1 A/Bs.
+    use_prep = (
+        os.environ.get("MTGP_BENCH_NO_PREP") != "1"
+        and evaluator.prepare_chained(pop, data) is not None
     )
-    if prepared is not None:
-        step, const0 = prepared
+    if use_prep:
+        def run_all(pop_in):
+            step, const0 = evaluator.prepare_chained(pop_in, data)
 
-        def chained(const, _):
-            fit = step(const)
-            return const + 1e-30 * jnp.min(fit), fit
+            def chained(const, _):
+                fit = step(const)
+                return const + 1e-30 * jnp.min(fit), fit
+
+            return jnp.sum(
+                jax.lax.scan(chained, const0, None, length=chain_k)[1]
+            )
+
+        run_k = jax.jit(run_all)
+        arg = pop
     else:
-        const0 = pop.const
-
         def chained(const, _):
             fit = evaluator.evaluate_population(pop._replace(const=const), data)
             return const + 1e-30 * jnp.min(fit), fit
 
-    run_k = jax.jit(
-        lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
-    )
-    float(run_k(const0))  # compile
+        run_k = jax.jit(
+            lambda c: jnp.sum(jax.lax.scan(chained, c, None, length=chain_k)[1])
+        )
+        arg = pop.const
+    float(run_k(arg))  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run_k(const0))
+        float(run_k(arg))
         times.append(time.perf_counter() - t0)
     dt_best = min(times) / chain_k
     print(f"# raw eval times (s, {chain_k} chained each): "

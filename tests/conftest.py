@@ -104,6 +104,7 @@ SLOW_TESTS = {
     "test_prepared_fitness_bit_matches_oneshot",
     "test_adaptive_policy_kernel_matches_general",
     "test_adaptive_policy_kernel_dynamic",
+    "test_golden_adaptive_policy_parity_small",
     # top of the r4 fast-tier duration profile (31/16/15 s of the 358 s
     # contended run) — full coverage stays in the merge-gate tier
     "test_sample_tree_tile_valid_and_law",

@@ -66,3 +66,16 @@ def test_golden_adaptive_parity_small(tmp_path):
         population_size=20, batch_size=4, horizon=3.0,
         report_path=str(tmp_path / "report.md"),
     )
+
+
+def test_golden_adaptive_policy_parity_small(tmp_path):
+    """The policy notebooks' Dopri5+PID config, closed loop, ref vs ours
+    (r5; the fused adaptive policy kernel's semantics are pinned to this
+    general path exactly in test_policy_interpret.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+
+    golden_parity.main_policy_adaptive(
+        population_size=20, batch_size=4, horizon=2.0,
+        report_path=str(tmp_path / "report.md"),
+    )

@@ -648,8 +648,132 @@ def main_adaptive(population_size: int = 100, batch_size: int = 8,
     print("ADAPTIVE GOLDEN PARITY OK")
 
 
+def main_policy_adaptive(population_size: int = 100, batch_size: int = 4,
+                         horizon: float = 3.0, save_dt: float = 0.2,
+                         report_path: str | None = None):
+    """Golden ADAPTIVE-POLICY candidate parity (VERDICT r4 #3): the policy
+    notebooks' actual solver — ``Dopri5 + PIDController(atol=rtol=1e-4,
+    dtmin=0.001)`` (``StaticPolicy.ipynb`` cell 4) — through the reference's
+    closed-loop evaluator (via the shim) vs our
+    ``StaticPolicyEvaluator(method="adaptive")`` on identical
+    reference-sampled candidates and data. Zero noise, Constant params (the
+    fused adaptive kernel's scope; the general path this leg executes is
+    pinned EXACTLY equal to the fused kernel in
+    tests/test_policy_interpret.py::test_adaptive_policy_*). Step sequences
+    differ by construction (per-trajectory scalar control vs per-lane
+    batched control), so agreement is tolerance-level, as in
+    :func:`main_adaptive`."""
+    patch_shard_map()
+
+    import diffrax  # the shim
+
+    from MultiTreeGP.environments.control_environments.harmonic_oscillator import (
+        HarmonicOscillator as RefHO,
+    )
+    from MultiTreeGP.evaluators.feedforward_evaluate import Evaluator as RefFF
+    from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    operator_list = [
+        ("+", lambda x, y: jnp.add(x, y), 2, 0.5),
+        ("-", lambda x, y: jnp.subtract(x, y), 2, 0.1),
+        ("*", lambda x, y: jnp.multiply(x, y), 2, 0.5),
+    ]
+    ref_env = RefHO(0.0, 0.0)
+    ref_gp = RefGP(
+        num_generations=2,
+        population_size=population_size,
+        fitness_function=RefFF(
+            ref_env, dt0=0.05, solver=diffrax.Dopri5(),
+            stepsize_controller=diffrax.PIDController(
+                atol=1e-4, rtol=1e-4, dtmin=0.001
+            ),
+            max_steps=1000,
+        ),
+        operator_list=operator_list,
+        variable_list=[["y0", "y1", "tgt"]],
+        layer_sizes=jnp.array([1]),
+        num_populations=1,
+    )
+
+    key = jr.PRNGKey(0)
+    k_init, k_noise, k_param, k_pop = jr.split(key, 4)
+    x0s, targets = ref_env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+    params = ref_env.sample_params(batch_size, "Constant", ts, k_param)
+    pkeys = jr.split(k_noise, batch_size)
+    okeys = jr.split(jr.fold_in(k_noise, 1), batch_size)
+    data = (x0s, ts, targets, pkeys, okeys, params)
+
+    pops = ref_gp.initialize_population(k_pop)
+    flat = pops.reshape(-1, *pops.shape[2:])
+    ref_fit = np.asarray(
+        ref_gp.vmap_trees(flat[..., 3:], flat[..., :3], data)
+    ).reshape(-1)
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.core.trees import TreeTensors, validate_host
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+    from multitreegp_tpu.models.evaluators import StaticPolicyEvaluator
+
+    fset = build_function_set(operator_list, [["y0", "y1", "tgt"]], [1])
+    mine = TreeTensors(
+        ops=jnp.asarray(flat[..., 0], jnp.int32),
+        c1=jnp.asarray(flat[..., 1], jnp.int32),
+        c2=jnp.asarray(flat[..., 2], jnp.int32),
+        const=jnp.asarray(flat[..., 3], jnp.float32),
+    )
+    validate_host(mine, fset.slots)
+    my_env = HarmonicOscillator(0.0, 0.0)
+    ev = StaticPolicyEvaluator(
+        my_env, fset, method="adaptive", adaptive_method="dopri5",
+        rtol=1e-4, atol=1e-4, substeps=8, interpreter="ladder",
+    )
+    my_fit = np.asarray(jax.jit(lambda p: ev.evaluate_population(p, data))(mine))
+
+    bad_thresh = 1e3
+    bad_ref = ref_fit >= bad_thresh
+    bad_my = my_fit >= bad_thresh
+    sound = ~bad_ref & ~bad_my
+    rel = np.abs(ref_fit[sound] - my_fit[sound]) / (np.abs(ref_fit[sound]) + 1e-9)
+    r_ref = np.argsort(np.argsort(ref_fit[sound]))
+    r_my = np.argsort(np.argsort(my_fit[sound]))
+    rho = np.corrcoef(r_ref, r_my)[0, 1]
+
+    lines = [
+        "",
+        "## Adaptive-policy parity (the notebooks' Dopri5 + PIDController, closed loop)",
+        "",
+        "Reference config `StaticPolicy.ipynb` cell 4: Dopri5, dt0=0.05,",
+        "PID(atol=rtol=1e-4, dtmin=0.001), max_steps=1000 — via the shim;",
+        "ours: StaticPolicyEvaluator(method='adaptive', dopri5) with the same",
+        "tolerances. Zero noise, Constant params (the fused adaptive policy",
+        "kernel's scope; kernel == this general path is pinned exactly in",
+        "tests/test_policy_interpret.py).",
+        "",
+        f"- candidates: {len(ref_fit)} (reference-sampled, HarmonicOscillator)",
+        f"- sound candidates (fitness < {bad_thresh:.0e} in both): {sound.sum()}",
+        f"- relative fitness error on sound candidates: "
+        f"max {rel.max():.2e}, mean {rel.mean():.2e}",
+        f"- Spearman rank correlation on sound candidates: {rho:.6f}",
+        f"- bad-verdict agreement: {(bad_ref == bad_my).mean():.4f}",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    out = report_path or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "GOLDEN_PARITY.md"
+    )
+    with open(out, "a") as f:
+        f.write(report + "\n")
+    assert rel.max() < 1e-2 and rel.mean() < 1e-3
+    assert (bad_ref != bad_my).sum() <= max(1, len(ref_fit) // 100)
+    assert rho > 0.99
+    print("ADAPTIVE POLICY GOLDEN PARITY OK")
+
+
+
 if __name__ == "__main__":
     main()
     main_policy()
     main_dynamic()
     main_adaptive()
+    main_policy_adaptive()
