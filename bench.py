@@ -633,8 +633,13 @@ if __name__ == "__main__":
         main_policy()
     elif cfg == "policy_adaptive":
         # the StaticPolicy notebook's ACTUAL solver (Dopri5 + PID 1e-4)
-        # through the fused adaptive policy kernel (r5)
-        main_policy(method="adaptive")
+        # through the fused adaptive policy kernel (r5). substeps=8 sets the
+        # per-interval budget to 8 (adaptive_step_budget): Mosaic executes
+        # the full static budget predicated, so the budget IS the wall; the
+        # notebook's own whole-solve max_steps=1000 averages ~4/interval at
+        # this horizon and sound lanes need ~3-6 attempts — 8 covers them
+        # with margin, the default 32 would just quadruple the wall.
+        main_policy(method="adaptive", substeps=8)
     elif cfg == "policy_nb":
         main_policy(population_size=512)
     elif cfg == "gen":
