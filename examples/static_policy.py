@@ -19,7 +19,7 @@ from multitreegp_tpu.models.environments import Acrobot
 from multitreegp_tpu.models.evaluators import StaticPolicyEvaluator, generate_control_data
 
 
-def main(num_generations=50, population_size=100, num_populations=5, seed=0):
+def main(num_generations=50, population_size=100, num_populations=5, seed=0, adaptive=False):
     key = jr.PRNGKey(seed)
     data_key, init_key, run_key = jr.split(key, 3)
 
@@ -30,7 +30,15 @@ def main(num_generations=50, population_size=100, num_populations=5, seed=0):
     strategy = GeneticProgramming(
         num_generations=num_generations,
         population_size=population_size,
-        fitness_function=StaticPolicyEvaluator(env, substeps=4),
+        # --adaptive = the notebook's ACTUAL solver (cell 4): Dopri5 +
+        # PIDController(atol=rtol=1e-4) — the fused adaptive policy kernel
+        # (noise-free config; substeps=8 is the per-interval step budget)
+        fitness_function=(
+            StaticPolicyEvaluator(env, method="adaptive",
+                                  adaptive_method="dopri5", rtol=1e-4,
+                                  atol=1e-4, substeps=8)
+            if adaptive else StaticPolicyEvaluator(env, substeps=4)
+        ),
         operator_list=[
             ("+", jnp.add, 2),
             ("-", jnp.subtract, 2),
@@ -63,5 +71,7 @@ if __name__ == "__main__":
     p.add_argument("--population", type=int, default=100)
     p.add_argument("--islands", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adaptive", action="store_true",
+                   help="the notebook's Dopri5+PID solver (fused adaptive kernel)")
     a = p.parse_args()
-    main(a.generations, a.population, a.islands, a.seed)
+    main(a.generations, a.population, a.islands, a.seed, a.adaptive)

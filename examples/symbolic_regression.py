@@ -22,7 +22,7 @@ from multitreegp_tpu.models.environments import VanDerPolOscillator
 from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
 
 
-def main(num_generations=100, population_size=100, num_populations=10, seed=0, fused=False):
+def main(num_generations=100, population_size=100, num_populations=10, seed=0, fused=False, adaptive=False):
     key = jr.PRNGKey(seed)
     data_key, init_key, run_key = jr.split(key, 3)
 
@@ -33,7 +33,14 @@ def main(num_generations=100, population_size=100, num_populations=10, seed=0, f
     strategy = GeneticProgramming(
         num_generations=num_generations,
         population_size=population_size,
-        fitness_function=SREvaluator(substeps=4),
+        # --adaptive = the notebook's ACTUAL solver (cell 6): Dopri5 +
+        # PIDController(atol=rtol=1e-6) with whole-solve max_steps=500 —
+        # dispatched to the fused global-budget adaptive kernel on TPU
+        fitness_function=(
+            SREvaluator(method="adaptive", adaptive_method="dopri5",
+                        rtol=1e-6, atol=1e-6, adaptive_budget=500)
+            if adaptive else SREvaluator(substeps=4)
+        ),
         operator_list=[
             ("+", jnp.add, 2, 0.5),
             ("-", jnp.subtract, 2, 0.1),
@@ -72,5 +79,7 @@ if __name__ == "__main__":
     p.add_argument("--islands", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fused", action="store_true", help="run as one on-device scan")
+    p.add_argument("--adaptive", action="store_true",
+                   help="the notebook's Dopri5+PID solver (fused adaptive kernel)")
     a = p.parse_args()
-    main(a.generations, a.population, a.islands, a.seed, a.fused)
+    main(a.generations, a.population, a.islands, a.seed, a.fused, a.adaptive)
