@@ -256,3 +256,51 @@ def test_fit_shard_2d_dcn_mesh():
     hist, _, _, fit = gp.fit(jr.PRNGKey(1), data, shard=True)
     assert hist.shape == (2,)
     assert bool(jnp.isfinite(fit).all())
+
+
+def test_sharded_adaptive_evaluator_matches_unsharded():
+    """The r5 production adaptive default (global-budget kernel) inside
+    shard_map over the 8-device CPU mesh, interpret mode — the actual
+    multi-chip fused-adaptive composition — must equal the unsharded
+    evaluation exactly."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.models.environments import VanDerPolOscillator
+    from multitreegp_tpu.models.evaluators import SREvaluator, generate_sr_data
+    from multitreegp_tpu.ops.initialization import make_population_sampler
+    from multitreegp_tpu.parallel.collective import make_sharded_evaluator
+    from multitreegp_tpu.parallel.mesh import make_mesh
+
+    if not hasattr(pltpu, "force_tpu_interpret_mode"):
+        pytest.skip("needs pallas TPU interpret mode")
+
+    fset = build_function_set(
+        [("+", jnp.add, 2, 0.5), ("-", jnp.subtract, 2, 0.1),
+         ("*", jnp.multiply, 2, 0.5)], [["x0", "x1"]], [2],
+    )
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 0.6, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2, substeps=8)
+    ev = SREvaluator(fset, method="adaptive", adaptive_method="dopri5",
+                     rtol=1e-3, atol=1e-5, adaptive_budget=64)
+    islands, pop_size = 8, 8
+    pops = jax.vmap(
+        lambda k: make_population_sampler(fset, 3, 16)(k, pop_size)
+    )(jr.split(jr.PRNGKey(1), islands))
+    mesh = make_mesh(8)
+
+    def eval_islands(p):
+        # p is the LOCAL shard inside shard_map: use its own island count
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), p
+        )
+        return ev.evaluate_population(flat, data).reshape(p.ops.shape[0], -1)
+
+    with pltpu.force_tpu_interpret_mode():
+        sharded = np.asarray(
+            jax.jit(make_sharded_evaluator(eval_islands, mesh))(pops)
+        )
+        unsharded = np.asarray(jax.jit(eval_islands)(pops))
+    np.testing.assert_array_equal(sharded, unsharded)
