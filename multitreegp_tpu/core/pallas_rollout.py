@@ -2007,10 +2007,15 @@ def _make_adaptive_global_kernel(fset: FunctionSet, n: int, m: int,
                 active, jnp.clip(dt_c * factor, span * 1e-3, span), dt
             )
             # interval-entry clamp with the NEW interval's span (the
-            # per-interval kernel applies it at the top of each interval)
+            # per-interval kernel applies it at the top of each interval).
+            # n_t0 needs no ladder: a non-crossed lane keeps t0l, a crossed
+            # lane's new interval starts at t1l (at idx == last-1 the values
+            # differ from a fresh ladder, but such lanes fail the
+            # idx_n < last gate below, so the clamp result is unselected —
+            # outputs bit-identical).
             idx_n = idx + crossed.astype(jnp.int32)
             nxt0 = jnp.minimum(idx_n, last - 1)
-            n_t0 = ts_ladder(nxt0, 0)
+            n_t0 = jnp.where(crossed, t1l, t0l)
             n_t1 = ts_ladder(nxt0 + 1, 1)
             n_span = n_t1 - n_t0
             dt_scr[...] = jnp.where(
@@ -2021,12 +2026,23 @@ def _make_adaptive_global_kernel(fset: FunctionSet, n: int, m: int,
                 alive & (ok | ~active | (dt_c > span * 1.5e-3))
             ).astype(jnp.float32)
             steps_ref[0] = steps_ref[0] + active.astype(jnp.float32)
-            # save-point MSE accumulation for lanes that just crossed
-            acc = err_ref[0]
+            # save-point MSE accumulation for lanes that just crossed:
+            # select the crossing lane's ground-truth ROW first (one
+            # m-stream ladder), then ONE sq_err — instead of evaluating a
+            # full sq_err_at(k) inside every rung (O(T*m) multiply-adds per
+            # spin -> O(T*m) selects + one sq_err). Bit-exact: a crossed
+            # lane has exactly one k == idx_n, its selected row IS ys[k],
+            # so the addend's fp expression is unchanged.
+            ysel = [jnp.zeros((sub, LANE), jnp.float32) for _ in range(m)]
             for k in range(1, t_steps):
-                sel = crossed & (idx_n == k)
-                acc = jnp.where(sel, acc + sq_err_at(k), acc)
-            err_ref[0] = acc
+                sel_k = idx_n == k
+                for mi in range(m):
+                    ysel[mi] = jnp.where(sel_k, ys_ref[k, mi, 0], ysel[mi])
+            e = jnp.zeros((sub, LANE), jnp.float32)
+            for mi in range(m):
+                dlt = x_ref[mi] - ysel[mi]
+                e = e + dlt * dlt
+            err_ref[0] = jnp.where(crossed, err_ref[0] + e, err_ref[0])
             idx_scr[...] = idx_n
             return 0
 
