@@ -104,3 +104,34 @@ def test_sharded_eval_equals_unsharded():
     np.testing.assert_allclose(
         np.asarray(fit_plain), np.asarray(fit_sharded), rtol=1e-6
     )
+
+
+def test_sharded_fit_adaptive_method():
+    """fit(shard=True) with the adaptive (Dopri5+PID) evaluator — the r5
+    production adaptive default under the multi-chip composition. On the
+    CPU mesh the evaluator's general integrate_adaptive path runs inside
+    shard_map (the fused kernel requires TPU/interpret; its sharded
+    equality is pinned in test_collective.py)."""
+    env = VanDerPolOscillator(0.0, 0.0)
+    ts = jnp.arange(0.0, 1.0, 0.2)
+    data = generate_sr_data(env, jr.PRNGKey(0), ts, batch_size=2)
+    strategy = GeneticProgramming(
+        num_generations=2,
+        population_size=8,
+        fitness_function=SREvaluator(
+            method="adaptive", adaptive_method="dopri5",
+            rtol=1e-3, atol=1e-5, adaptive_budget=64,
+        ),
+        operator_list=OPERATORS,
+        variable_list=[["x0", "x1"]],
+        layer_sizes=[2],
+        num_populations=8,
+        max_nodes=16,
+        max_init_depth=3,
+    )
+    best_fit, _best_sol, final_pop, _ = strategy.fit(
+        jr.PRNGKey(1), data, shard=True
+    )
+    assert best_fit.shape == (2,)
+    assert np.isfinite(np.asarray(best_fit)).all()
+    validate_host(final_pop, strategy.fset.slots)
