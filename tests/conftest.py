@@ -107,6 +107,7 @@ SLOW_TESTS = {
     "test_golden_adaptive_policy_parity_small",
     "test_sharded_adaptive_evaluator_matches_unsharded",
     "test_sharded_fit_adaptive_method",
+    "test_golden_adaptive_dynamic_parity_small",
     # top of the r4 fast-tier duration profile (31/16/15 s of the 358 s
     # contended run) — full coverage stays in the merge-gate tier
     "test_sample_tree_tile_valid_and_law",

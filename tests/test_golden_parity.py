@@ -79,3 +79,15 @@ def test_golden_adaptive_policy_parity_small(tmp_path):
         population_size=20, batch_size=4, horizon=2.0,
         report_path=str(tmp_path / "report.md"),
     )
+
+
+def test_golden_adaptive_dynamic_parity_small(tmp_path):
+    """Dynamic (stateful) policy under Dopri5+PID, ref vs ours (r5) — the
+    last cell of the reference-solver parity matrix."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+
+    golden_parity.main_dynamic_adaptive(
+        population_size=20, batch_size=4, horizon=2.0,
+        report_path=str(tmp_path / "report.md"),
+    )

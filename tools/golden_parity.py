@@ -771,9 +771,137 @@ def main_policy_adaptive(population_size: int = 100, batch_size: int = 4,
 
 
 
+def main_dynamic_adaptive(population_size: int = 100, batch_size: int = 4,
+                          horizon: float = 3.0, save_dt: float = 0.2,
+                          state_size: int = 2, report_path: str | None = None):
+    """Golden ADAPTIVE parity for the DYNAMIC (stateful) policy evaluator —
+    the DynamicPolicy notebook's solver class (Dopri5 + PID 1e-4) through
+    the reference's augmented-state evaluator (shim) vs
+    ``DynamicPolicyEvaluator(method="adaptive")``. Completes the
+    reference-solver parity matrix: SR (main_adaptive), static policy
+    (main_policy_adaptive), dynamic policy (this). Zero noise, Constant
+    params; the fused adaptive dynamic kernel equals this general path
+    exactly (tests/test_policy_interpret.py::test_adaptive_policy_kernel_dynamic)."""
+    patch_shard_map()
+
+    import diffrax  # the shim
+
+    from MultiTreeGP.environments.control_environments.harmonic_oscillator import (
+        HarmonicOscillator as RefHO,
+    )
+    from MultiTreeGP.evaluators.dynamic_evaluate import Evaluator as RefDyn
+    from MultiTreeGP.genetic_programming import GeneticProgramming as RefGP
+
+    operator_list = [
+        ("+", lambda x, y: jnp.add(x, y), 2, 0.5),
+        ("-", lambda x, y: jnp.subtract(x, y), 2, 0.1),
+        ("*", lambda x, y: jnp.multiply(x, y), 2, 0.5),
+    ]
+    variable_list = [["y0", "y1", "a0", "a1", "u", "tgt"], ["a0", "a1"]]
+    ref_env = RefHO(0.0, 0.0)
+    ref_gp = RefGP(
+        num_generations=2,
+        population_size=population_size,
+        fitness_function=RefDyn(
+            ref_env, state_size, dt0=0.05, solver=diffrax.Dopri5(),
+            stepsize_controller=diffrax.PIDController(
+                atol=1e-4, rtol=1e-4, dtmin=0.001
+            ),
+            max_steps=1000,
+        ),
+        operator_list=operator_list,
+        variable_list=variable_list,
+        layer_sizes=jnp.array([state_size, ref_env.n_control]),
+        num_populations=1,
+    )
+
+    key = jr.PRNGKey(0)
+    k_init, k_noise, k_param, k_pop = jr.split(key, 4)
+    x0s, targets = ref_env.sample_init_states(batch_size, k_init)
+    ts = jnp.arange(0.0, horizon, save_dt, dtype=jnp.float32)
+    params = ref_env.sample_params(batch_size, "Constant", ts, k_param)
+    pkeys = jr.split(k_noise, batch_size)
+    okeys = jr.split(jr.fold_in(k_noise, 1), batch_size)
+    data = (x0s, ts, targets, pkeys, okeys, params)
+
+    pops = ref_gp.initialize_population(k_pop)
+    flat = pops.reshape(-1, *pops.shape[2:])
+    ref_fit = np.asarray(
+        ref_gp.vmap_trees(flat[..., 3:], flat[..., :3], data)
+    ).reshape(-1)
+
+    from multitreegp_tpu.core.registry import build_function_set
+    from multitreegp_tpu.core.trees import TreeTensors, validate_host
+    from multitreegp_tpu.models.environments import HarmonicOscillator
+    from multitreegp_tpu.models.evaluators import DynamicPolicyEvaluator
+
+    fset = build_function_set(
+        operator_list, variable_list, [state_size, ref_env.n_control]
+    )
+    mine = TreeTensors(
+        ops=jnp.asarray(flat[..., 0], jnp.int32),
+        c1=jnp.asarray(flat[..., 1], jnp.int32),
+        c2=jnp.asarray(flat[..., 2], jnp.int32),
+        const=jnp.asarray(flat[..., 3], jnp.float32),
+    )
+    validate_host(mine, fset.slots)
+    my_env = HarmonicOscillator(0.0, 0.0)
+    ev = DynamicPolicyEvaluator(
+        my_env, fset, state_size=state_size, method="adaptive",
+        adaptive_method="dopri5", rtol=1e-4, atol=1e-4, substeps=4,
+        interpreter="ladder",
+    )  # substeps=4 -> per-interval budget 32: the augmented (stateful)
+    # dynamics are stiffer than the static loop, and the reference pools
+    # max_steps=1000 across the whole solve — a tight 8/interval cap killed
+    # 3 marginal candidates the reference completes (bad-agreement 0.97)
+    my_fit = np.asarray(jax.jit(lambda p: ev.evaluate_population(p, data))(mine))
+
+    bad_thresh = 1e3
+    bad_ref = ref_fit >= bad_thresh
+    bad_my = my_fit >= bad_thresh
+    sound = ~bad_ref & ~bad_my
+    rel = np.abs(ref_fit[sound] - my_fit[sound]) / (np.abs(ref_fit[sound]) + 1e-9)
+    r_ref = np.argsort(np.argsort(ref_fit[sound]))
+    r_my = np.argsort(np.argsort(my_fit[sound]))
+    rho = np.corrcoef(r_ref, r_my)[0, 1]
+
+    lines = [
+        "",
+        "## Adaptive DYNAMIC-policy parity (Dopri5 + PIDController, stateful closed loop)",
+        "",
+        f"- candidates: {len(ref_fit)} (reference-sampled, HarmonicOscillator)",
+        f"- sound candidates (fitness < {bad_thresh:.0e} in both): {sound.sum()}",
+        f"- relative fitness error on sound candidates: "
+        f"max {rel.max():.2e}, mean {rel.mean():.2e}",
+        f"- Spearman rank correlation on sound candidates: {rho:.6f}",
+        f"- bad-verdict agreement: {(bad_ref == bad_my).mean():.4f}",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    out = report_path or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "GOLDEN_PARITY.md"
+    )
+    with open(out, "a") as f:
+        f.write(report + "\n")
+    assert rel.max() < 1e-2 and rel.mean() < 1e-3
+    # bad-verdict threshold 3/100 — MEASURED root cause (r5 diagnosis, not
+    # solver error): candidates whose HIDDEN state grows exponentially but
+    # stays finite (e.g. cand 35: |a| x4 per save, 7.6e7 at save 14). Our
+    # divergence containment kills at |x| >= 1e8 (DIVERGENCE_BOUND —
+    # headroom against squaring overflow inside drift expressions); the
+    # reference's event fires only on inf/nan (harmonic_oscillator.py:83-84)
+    # and integrates on to |a| ~ 3e8+ with a tame cost (its cost reads only
+    # env state + controls). Identical verdicts at every tolerance/method on
+    # our side; sound-candidate agreement is 6.3e-6, rank corr 0.999.
+    assert (bad_ref != bad_my).sum() <= max(3, len(ref_fit) // 33)
+    assert rho > 0.99
+    print("ADAPTIVE DYNAMIC GOLDEN PARITY OK")
+
+
 if __name__ == "__main__":
     main()
     main_policy()
     main_dynamic()
     main_adaptive()
     main_policy_adaptive()
+    main_dynamic_adaptive()
